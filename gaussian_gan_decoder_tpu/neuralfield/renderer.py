@@ -1,0 +1,363 @@
+"""Tri-plane / tri-grid feature sampling + two-pass importance renderer.
+
+Re-design of both reference variants:
+  * PanoHead tri-grid (/root/reference/PanoHead/training/volumetric_rendering/
+    renderer.py): 3D grid_sample over (C, D, H, W) sub-volumes, xyz composited
+    alongside rgb, triplane-crop / cull-clouds density masking.
+  * EG3D tri-plane (/root/reference/eg3d/training/volumetric_rendering/
+    renderer.py): 2D grid_sample, and the fork's different third-plane axes
+    (EG3D :35-37 vs PanoHead :27-29 — PanoHead fixed the axis bug; both are
+    reproduced bit-exactly via `plane_variant`).
+
+TPU notes: everything is static-shape; per-ray sorting uses a single
+`jnp.sort`/`take_along_axis` (lowered to XLA variadic sort); stochastic
+sampling takes explicit PRNG keys.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import grid_sample_2d, grid_sample_3d
+from .math_utils import get_ray_limits_box, linspace_batch
+from .ray_marcher import mip_ray_march
+
+
+def generate_planes(variant: str = "panohead") -> np.ndarray:
+    """Plane axis triples. variant in {'panohead', 'eg3d'}."""
+    if variant == "panohead":
+        # ref PanoHead renderer.py:21-29
+        return np.array(
+            [
+                [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                [[1, 0, 0], [0, 0, 1], [0, 1, 0]],
+                [[0, 1, 0], [0, 0, 1], [1, 0, 0]],
+            ],
+            dtype=np.float32,
+        )
+    # ref eg3d renderer.py:29-37 (kept for checkpoint parity)
+    return np.array(
+        [
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+            [[1, 0, 0], [0, 0, 1], [0, 1, 0]],
+            [[0, 0, 1], [1, 0, 0], [0, 1, 0]],
+        ],
+        dtype=np.float32,
+    )
+
+
+def project_onto_planes(plane_axes: np.ndarray, coordinates: jax.Array) -> jax.Array:
+    """(N, M, 3) coords -> (N, n_planes, M, 3) plane-local coords
+    (ref renderer.py:31-45; the reference flattens N*n_planes, we keep the
+    plane axis explicit)."""
+    inv = jnp.asarray(np.linalg.inv(plane_axes), coordinates.dtype)  # (P, 3, 3)
+    return jnp.einsum("nmc,pcd->npmd", coordinates, inv)
+
+
+def sample_from_planes(
+    plane_axes: np.ndarray,
+    plane_features: jax.Array,   # (N, 3, C*D, H, W)
+    coordinates: jax.Array,      # (N, M, 3)
+    box_warp: float,
+    triplane_depth: int = 1,
+) -> jax.Array:
+    """Probe the tri-plane/tri-grid at world coords (ref renderer.py:47-58).
+
+    Returns (N, n_planes, M, C). triplane_depth == 1 uses 2D bilinear taps
+    (EG3D); > 1 uses trilinear taps over the depth-stacked sub-volumes
+    (PanoHead tri-grid).
+    """
+    N, n_planes, CD, H, W = plane_features.shape
+    M = coordinates.shape[1]
+    C, D = CD // triplane_depth, triplane_depth
+
+    coordinates = (2.0 / box_warp) * coordinates
+    proj = project_onto_planes(plane_axes, coordinates)  # (N, P, M, 3)
+    proj = proj.reshape(N * n_planes, M, 3)
+
+    if triplane_depth == 1:
+        feats = plane_features.reshape(N * n_planes, C, H, W)
+        grid = proj[:, None, :, :2]  # (NP, 1, M, 2)
+        out = grid_sample_2d(feats, grid)  # (NP, C, 1, M)
+        out = out[:, :, 0]  # (NP, C, M)
+    else:
+        feats = plane_features.reshape(N * n_planes, C, D, H, W)
+        grid = proj[:, None, None, :, :]  # (NP, 1, 1, M, 3)
+        out = grid_sample_3d(feats, grid)  # (NP, C, 1, 1, M)
+        out = out[:, :, 0, 0]  # (NP, C, M)
+    out = jnp.transpose(out, (0, 2, 1)).reshape(N, n_planes, M, C)
+    return out
+
+
+def sample_from_3dgrid(grid: jax.Array, coordinates: jax.Array) -> jax.Array:
+    """(1|N, C, H, W, D) dense grid probe (ref renderer.py:60-73)."""
+    N, M, _ = coordinates.shape
+    vol = jnp.broadcast_to(grid, (N,) + grid.shape[1:])
+    # torch grid_sample 5D: input (N,C,D,H,W); ref passes (N,C,H,W,D) and a
+    # (N,1,1,M,3) grid, relying on torch's (x,y,z)->(W,H,D) convention.
+    vol = jnp.transpose(vol, (0, 1, 4, 2, 3))  # -> (N, C, D=W? ...) — keep torch order
+    g = coordinates[:, None, None, :, :]
+    out = grid_sample_3d(vol, g)[:, :, 0, 0]  # (N, C, M)
+    return jnp.transpose(out, (0, 2, 1))
+
+
+def triplane_crop_mask(xyz: jax.Array, thresh: float, boxwarp: float, allow_bottom: bool = True):
+    """Density mask outside the cropped box (ref renderer.py:75-86)."""
+    flip = jnp.asarray([-1.0, 1.0, -1.0], xyz.dtype)
+    p = xyz * flip
+    lim = boxwarp / 2 - thresh
+    inside_xz = jnp.all(jnp.abs(p[..., [0, 2]]) <= lim, axis=-1, keepdims=True)
+    ans = inside_xz
+    if allow_bottom:
+        ans = ans | ((p[..., 1:2] <= -lim) & inside_xz)
+    return ~ans
+
+
+def cull_clouds_mask(densities: jax.Array, thresh: float):
+    """(ref renderer.py:87-90)"""
+    d = jax.nn.softplus(densities - 1)
+    alpha = 1 - jnp.exp(-d)
+    return alpha < thresh
+
+
+@dataclass(frozen=True)
+class ImportanceRenderer:
+    """Two-pass (coarse + importance) volume renderer.
+
+    plane_variant selects the plane-axis constants AND the marcher's rgb
+    range convention ('eg3d' maps composited rgb to (-1,1), ref
+    eg3d/.../ray_marcher.py:54).
+    """
+
+    plane_variant: str = "panohead"
+
+    @property
+    def plane_axes(self) -> np.ndarray:
+        return generate_planes(self.plane_variant)
+
+    # -- model probe --------------------------------------------------------
+
+    def run_model(self, planes, decoder_fn, sample_coordinates, sample_directions, options) -> Dict:
+        """Probe planes + decode (ref renderer.py:198-205).
+
+        decoder_fn(features (N,P,M,C), directions (N,M,3)) -> {'rgb','sigma'}.
+        """
+        feats = sample_from_planes(
+            self.plane_axes, planes, sample_coordinates,
+            box_warp=options["box_warp"],
+            triplane_depth=options.get("triplane_depth", 1),
+        )
+        out = decoder_fn(feats, sample_directions)
+        if options.get("density_noise", 0) > 0:
+            key = options.get("density_noise_key")
+            assert key is not None, "density_noise needs 'density_noise_key'"
+            out["sigma"] = out["sigma"] + (
+                jax.random.normal(key, out["sigma"].shape, out["sigma"].dtype)
+                * options["density_noise"]
+            )
+        out["xyz"] = sample_coordinates
+        return out
+
+    # -- depth proposal ------------------------------------------------------
+
+    def sample_stratified(
+        self, key, ray_origins, ray_start, ray_end, depth_resolution,
+        disparity_space_sampling=False,
+    ):
+        """(ref renderer.py:239-262) -> (N, R, S, 1) jittered depths."""
+        N, R, _ = ray_origins.shape
+        S = depth_resolution
+        if disparity_space_sampling:
+            base = jnp.linspace(0.0, 1.0, S, dtype=ray_origins.dtype)
+            base = jnp.broadcast_to(base.reshape(1, 1, S, 1), (N, R, S, 1))
+            delta = 1.0 / (S - 1)
+            u = jax.random.uniform(key, (N, R, S, 1), ray_origins.dtype)
+            d = base + u * delta
+            return 1.0 / (1.0 / ray_start * (1.0 - d) + 1.0 / ray_end * d)
+        if isinstance(ray_start, jax.Array) and ray_start.ndim > 0:
+            # per-ray limits: linspace over (N,R,1) tensors -> (S,N,R,1)
+            d = linspace_batch(ray_start, ray_end, S)
+            d = jnp.transpose(d, (1, 2, 0, 3))  # (N, R, S, 1)
+            delta = (ray_end - ray_start) / (S - 1)  # (N, R, 1)
+            u = jax.random.uniform(key, d.shape, d.dtype)
+            return d + u * delta[..., None]
+        base = jnp.linspace(ray_start, ray_end, S, dtype=ray_origins.dtype)
+        base = jnp.broadcast_to(base.reshape(1, 1, S, 1), (N, R, S, 1))
+        delta = (ray_end - ray_start) / (S - 1)
+        u = jax.random.uniform(key, base.shape, base.dtype)
+        return base + u * delta
+
+    def sample_importance(self, key, z_vals, weights, n_importance):
+        """PDF importance resampling (ref renderer.py:264-282)."""
+        N, R, S, _ = z_vals.shape
+        z = z_vals.reshape(N * R, S)
+        w = weights.reshape(N * R, -1)
+        # smooth: max_pool1d(2, stride 1, pad 1) then avg_pool1d(2, stride 1);
+        # torch max-pool pads with -inf
+        w_pad = jnp.concatenate(
+            [jnp.full_like(w[:, :1], -jnp.inf), w, jnp.full_like(w[:, :1], -jnp.inf)],
+            axis=1,
+        )
+        w_max = jnp.maximum(w_pad[:, :-1], w_pad[:, 1:])  # (NR, S)
+        w_smooth = (w_max[:, :-1] + w_max[:, 1:]) / 2
+        w_smooth = w_smooth + 0.01
+
+        z_mid = (z[:, :-1] + z[:, 1:]) / 2
+        samples = sample_pdf(key, z_mid, w_smooth[:, 1:-1], n_importance)
+        return jax.lax.stop_gradient(samples).reshape(N, R, n_importance, 1)
+
+    # -- full two-pass forward ----------------------------------------------
+
+    def __call__(
+        self,
+        key,
+        planes,
+        decoder_fn: Callable,
+        ray_origins,
+        ray_directions,
+        rendering_options: Dict,
+        triplane_crop: Optional[float] = 0.1,
+        cull_clouds: Optional[float] = None,
+        binarize_clouds: Optional[float] = None,
+    ):
+        """-> (rgb_final (N,R,C), depth_final (N,R,1), weight_sum (N,R,1))
+
+        (ref renderer.py:100-196). For plane_variant='eg3d' the xyz/crop
+        machinery is disabled (the EG3D fork never tracks xyz).
+        """
+        opts = rendering_options
+        track_xyz = self.plane_variant == "panohead"
+        k_strat, k_imp = jax.random.split(key)
+
+        if opts["ray_start"] == opts["ray_end"] == "auto":
+            ray_start, ray_end = get_ray_limits_box(
+                ray_origins, ray_directions, box_side_length=opts["box_warp"]
+            )
+            is_valid = ray_end > ray_start
+            any_valid = jnp.any(is_valid)
+            rs_min = jnp.min(jnp.where(is_valid, ray_start, jnp.inf))
+            rs_max = jnp.max(jnp.where(is_valid, ray_start, -jnp.inf))
+            ray_start = jnp.where(is_valid, ray_start, jnp.where(any_valid, rs_min, ray_start))
+            ray_end = jnp.where(is_valid, ray_end, jnp.where(any_valid, rs_max, ray_end))
+            depths_coarse = self.sample_stratified(
+                k_strat, ray_origins, ray_start, ray_end,
+                opts["depth_resolution"], opts.get("disparity_space_sampling", False),
+            )
+        else:
+            depths_coarse = self.sample_stratified(
+                k_strat, ray_origins, opts["ray_start"], opts["ray_end"],
+                opts["depth_resolution"], opts.get("disparity_space_sampling", False),
+            )
+
+        N, R, S, _ = depths_coarse.shape
+
+        def probe(depths, n_samples):
+            coords = (
+                ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
+            ).reshape(N, -1, 3)
+            dirs = jnp.broadcast_to(
+                ray_directions[:, :, None, :], (N, R, n_samples, 3)
+            ).reshape(N, -1, 3)
+            out = self.run_model(planes, decoder_fn, coords, dirs, opts)
+            colors = out["rgb"]
+            densities = out["sigma"]
+            xyz = out["xyz"]
+            if track_xyz:
+                if triplane_crop:
+                    mask = triplane_crop_mask(xyz, triplane_crop, opts["box_warp"])
+                    densities = jnp.where(mask, -1e3, densities)
+                if binarize_clouds:
+                    m = cull_clouds_mask(densities, binarize_clouds)
+                    densities = jnp.where(m, -1e3, 1e3)
+                elif cull_clouds:
+                    m = cull_clouds_mask(densities, cull_clouds)
+                    densities = jnp.where(m, -1e3, densities)
+            colors = colors.reshape(N, R, n_samples, -1)
+            densities = densities.reshape(N, R, n_samples, 1)
+            xyz = xyz.reshape(N, R, n_samples, 3)
+            return colors, densities, xyz
+
+        colors_c, densities_c, xyz_c = probe(depths_coarse, S)
+
+        n_imp = opts["depth_resolution_importance"]
+        if n_imp > 0:
+            _, _, weights = mip_ray_march(
+                colors_c, densities_c, depths_coarse,
+                clamp_mode=opts["clamp_mode"], white_back=opts.get("white_back", False),
+            )
+            depths_fine = self.sample_importance(k_imp, depths_coarse, weights, n_imp)
+            colors_f, densities_f, xyz_f = probe(depths_fine, n_imp)
+
+            all_depths, all_colors, all_densities, all_xyz = unify_samples(
+                depths_coarse, colors_c, densities_c, xyz_c,
+                depths_fine, colors_f, densities_f, xyz_f,
+            )
+        else:
+            all_depths, all_colors, all_densities, all_xyz = (
+                depths_coarse, colors_c, densities_c, xyz_c,
+            )
+
+        if track_xyz:
+            blended = jnp.concatenate([all_colors, all_xyz], axis=-1)
+        else:
+            blended = all_colors
+        rgb_final, depth_final, weights = mip_ray_march(
+            blended, all_densities, all_depths,
+            clamp_mode=opts["clamp_mode"], white_back=opts.get("white_back", False),
+            rgb_to_minus1_1=(self.plane_variant == "eg3d"),
+        )
+        if track_xyz:
+            rgb_final = rgb_final[..., :-3]
+        return rgb_final, depth_final, jnp.sum(weights, axis=2)
+
+
+def unify_samples(d1, c1, s1, x1, d2, c2, s2, x2):
+    """Merge + depth-sort coarse and fine samples (ref renderer.py:225-237)."""
+    d = jnp.concatenate([d1, d2], axis=-2)
+    c = jnp.concatenate([c1, c2], axis=-2)
+    x = jnp.concatenate([x1, x2], axis=-2)
+    s = jnp.concatenate([s1, s2], axis=-2)
+    idx = jnp.argsort(d, axis=-2)  # (..., 2S, 1)
+
+    def gather(a):
+        return jnp.take_along_axis(
+            a, jnp.broadcast_to(idx, a.shape[:-1] + (1,)).repeat(a.shape[-1], axis=-1),
+            axis=-2,
+        )
+
+    return gather(d), gather(c), gather(s), gather(x)
+
+
+def sample_pdf(key, bins, weights, n_importance, det=False, eps=1e-5):
+    """Inverse-CDF sampling (ref renderer.py:284-323).
+
+    bins: (B, S+1)-ish mid-bin positions; weights: (B, S)."""
+    B, S = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (B, S+1)
+
+    if det:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_importance, dtype=bins.dtype), (B, n_importance)
+        )
+    else:
+        u = jax.random.uniform(key, (B, n_importance), bins.dtype)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, S)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=1)
+    bins_b = jnp.take_along_axis(bins, below, axis=1)
+    bins_a = jnp.take_along_axis(bins, above, axis=1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
