@@ -1,0 +1,79 @@
+"""Real spherical harmonics, degrees 0-3.
+
+Same constants/polynomials as the reference
+(/root/reference/gaussian_splatting/utils/sh_utils.py and the CUDA
+rasterizer's computeColorFromSH), including the CUDA forward's `+ 0.5`
+offset and clamp-to-positive.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396)
+SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435)
+
+
+def rgb_to_sh(rgb):
+    """(ref sh_utils.py:114) RGB2SH = (rgb - 0.5) / C0."""
+    return (rgb - 0.5) / SH_C0
+
+
+def sh_to_rgb(sh):
+    return sh * SH_C0 + 0.5
+
+
+def eval_sh(deg: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
+    """Evaluate SH at unit directions (ref sh_utils.py:29-112).
+
+    Args:
+      deg: 0..3 (active degree).
+      sh: (..., C, (deg_max+1)^2) coefficients — only the first
+        (deg+1)^2 are read.
+      dirs: (..., 3) unit view directions.
+    Returns: (..., C)
+    """
+    result = SH_C0 * sh[..., 0]
+    if deg > 0:
+        # (...,) components broadcast against the (..., C) coefficient slices
+        x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+        result = result - SH_C1 * y * sh[..., 1] + SH_C1 * z * sh[..., 2] - SH_C1 * x * sh[..., 3]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (
+                result
+                + SH_C2[0] * xy * sh[..., 4]
+                + SH_C2[1] * yz * sh[..., 5]
+                + SH_C2[2] * (2.0 * zz - xx - yy) * sh[..., 6]
+                + SH_C2[3] * xz * sh[..., 7]
+                + SH_C2[4] * (xx - yy) * sh[..., 8]
+            )
+            if deg > 2:
+                result = (
+                    result
+                    + SH_C3[0] * y * (3 * xx - yy) * sh[..., 9]
+                    + SH_C3[1] * xy * z * sh[..., 10]
+                    + SH_C3[2] * y * (4 * zz - xx - yy) * sh[..., 11]
+                    + SH_C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[..., 12]
+                    + SH_C3[4] * x * (4 * zz - xx - yy) * sh[..., 13]
+                    + SH_C3[5] * z * (xx - yy) * sh[..., 14]
+                    + SH_C3[6] * x * (xx - 3 * yy) * sh[..., 15]
+                )
+    return result
+
+
+def sh_to_color(deg: int, sh: jax.Array, means: jax.Array, campos: jax.Array) -> jax.Array:
+    """CUDA computeColorFromSH: eval + 0.5 offset, clamped to >= 0.
+
+    sh: (N, C, K) coefficients; means (N, 3); campos (3,).
+    """
+    dirs = means - campos[None, :]
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    rgb = eval_sh(deg, sh, dirs[:, None, :]) + 0.5
+    return jnp.maximum(rgb, 0.0)

@@ -1,0 +1,139 @@
+"""3DGS projection: world Gaussians -> screen-space conics.
+
+TPU-native re-implementation of the preprocess stage of the
+`diff-gaussian-rasterization` CUDA extension (reference consumes it at
+/root/reference/gaussian_splatting/gaussian_renderer/__init__.py:14,139-175;
+math follows Zwicker et al. EWA splatting as used by INRIA 3DGS):
+
+  view  = p @ W                     (row-vector convention, W = world_view)
+  clip  = p @ P_full;  ndc = clip.xyz / (clip.w + 1e-7)
+  pix   = ((ndc + 1) * size - 1) / 2
+  Sigma = R S S^T R^T;  Sigma2D = J V Sigma V^T J^T + 0.3 I
+  conic = inv(Sigma2D);  radius = ceil(3 sqrt(max eigenvalue))
+
+Everything is a dense vmapped computation over the N axis — pure MXU/VPU
+work with static shapes. Frustum culling is a mask, not a compaction.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..gaussians.cameras import Camera
+
+
+def build_rotation(q: jax.Array) -> jax.Array:
+    """Normalized quaternion (w,x,y,z) -> rotation matrix (..., 3, 3).
+
+    Matches /root/reference/gaussian_splatting/utils/general_utils.py:78-98.
+    """
+    norm = jnp.sqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True))
+    q = q / (norm + 1e-12)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+            2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+            2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return R.reshape(q.shape[:-1] + (3, 3))
+
+
+def build_cov3d(scales: jax.Array, rotations: jax.Array, scale_modifier: float = 1.0):
+    """(N,3) activated scales + (N,4) quats -> (N,3,3) covariance.
+
+    Sigma = R S S^T R^T (ref gaussian_model.py:28-33 via build_scaling_rotation).
+    """
+    R = build_rotation(rotations)
+    S = scales * scale_modifier  # (N, 3)
+    RS = R * S[..., None, :]      # R @ diag(S)
+    return RS @ jnp.swapaxes(RS, -1, -2)
+
+
+class ProjectedGaussians(NamedTuple):
+    pix_xy: jax.Array      # (N, 2) pixel coords of means
+    depth: jax.Array       # (N,) view-space z
+    conic: jax.Array       # (N, 3) inverse 2D covariance (a, b, c)
+    radius: jax.Array      # (N,) int32 screen radius, 0 = culled
+    visible: jax.Array     # (N,) bool
+
+
+def project_gaussians(
+    cam: Camera,
+    means3d: jax.Array,      # (N, 3)
+    scales: jax.Array,       # (N, 3) activated (exp'd)
+    rotations: jax.Array,    # (N, 4)
+    scale_modifier: float = 1.0,
+    cov3d_precomp: jax.Array | None = None,  # (N, 3, 3) optional
+) -> ProjectedGaussians:
+    N = means3d.shape[0]
+    W = cam.world_view_transform  # (4,4) row-vector
+    P = cam.full_proj_transform
+
+    hom = jnp.concatenate([means3d, jnp.ones((N, 1), means3d.dtype)], axis=1)
+    view = hom @ W                # (N, 4)
+    clip = hom @ P
+    p_w = 1.0 / (clip[:, 3] + 1e-7)
+    ndc = clip[:, :3] * p_w[:, None]
+
+    in_front = view[:, 2] > 0.2   # CUDA in_frustum near-plane cull
+
+    px = ((ndc[:, 0] + 1) * cam.image_width - 1) * 0.5
+    py = ((ndc[:, 1] + 1) * cam.image_height - 1) * 0.5
+    pix_xy = jnp.stack([px, py], axis=1)
+
+    # --- EWA 2D covariance --------------------------------------------------
+    if cov3d_precomp is None:
+        cov3d = build_cov3d(scales, rotations, scale_modifier)
+    else:
+        cov3d = cov3d_precomp
+    focal_x = cam.image_width / (2.0 * cam.tanfovx)
+    focal_y = cam.image_height / (2.0 * cam.tanfovy)
+
+    tz = view[:, 2]
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    limx = 1.3 * cam.tanfovx
+    limy = 1.3 * cam.tanfovy
+    tx = jnp.clip(view[:, 0] / tz_safe, -limx, limx) * tz_safe
+    ty = jnp.clip(view[:, 1] / tz_safe, -limy, limy) * tz_safe
+
+    # J rows: d(pix)/d(view); V = view rotation (col-vector convention =
+    # transpose of the row-vector world_view 3x3 block)
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x / tz_safe, zeros, -(focal_x * tx) / (tz_safe ** 2)], axis=-1),
+            jnp.stack([zeros, focal_y / tz_safe, -(focal_y * ty) / (tz_safe ** 2)], axis=-1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+    V = W[:3, :3].T  # (3, 3) col-vector view rotation
+    JW = J @ V[None]                     # (N, 2, 3)
+    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # (N, 2, 2)
+    cov_a = cov2d[:, 0, 0] + 0.3
+    cov_b = cov2d[:, 0, 1]
+    cov_c = cov2d[:, 1, 1] + 0.3
+
+    det = cov_a * cov_c - cov_b * cov_b
+    det_ok = det > 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([cov_c, -cov_b, cov_a], axis=1) / det_safe[:, None]
+
+    mid = 0.5 * (cov_a + cov_c)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    visible = in_front & det_ok
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    return ProjectedGaussians(
+        pix_xy=pix_xy,
+        depth=view[:, 2],
+        conic=conic,
+        radius=radius,
+        visible=visible & (radius > 0),
+    )
