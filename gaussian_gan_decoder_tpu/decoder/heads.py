@@ -1,0 +1,197 @@
+"""Gaussian-attribute decoder heads — the paper's contribution.
+
+Re-design of /root/reference/main/decoder_models/{base_decoder.py:8-27,
+sequential_decoder_reverse.py:12-99, sequential_decoder.py:12-96,
+parallel_decoder.py:12-92} as one configurable functional module.
+
+Each head is a 4-layer MLP (Linear-GELU x3 -> Linear) reading the
+plane-mean tri-plane feature (32ch) concatenated with a conditioning
+vector. Variants:
+
+  * 'sequential_reversed' (reference default): chain color -> opacity ->
+    rotation -> scale -> xyz, each conditioned on all previous outputs;
+    xyz = 0.01 * head + init_position; scale act = -softplus(s+5) - 2.5;
+    G.mapping receives ZEROED camera conditioning while G.synthesis gets
+    the real camera.
+  * 'sequential': chain xyz -> scale -> rot -> opacity -> color; scale
+    offset -2; mapping gets the REAL camera, synthesis gets zeros
+    (the reference's opposite convention, sequential_decoder.py:40-41).
+  * 'parallel': all five heads read only (features ⊕ position encoding).
+
+The reference's dead `triplane_sr` attribute (a known defect — it is read
+but never set, sequential_decoder_reverse.py:58) becomes an explicit
+`triplane_sr` option, default off.
+
+TPU-first notes: on a 500k-point axis each head is a dense (M, C) x
+(C, H) matmul stack — pure MXU work. `decode_from_planes` takes
+precomputed planes so per-latent backbone work is hoisted out of
+per-point work (replacing the reference's mutable `_last_planes` cache),
+and the point axis shards cleanly under shard_map (see parallel/).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.triplane import TriPlaneGenerator
+from ..neuralfield import sample_from_planes
+from ..utils import EasyDict
+from .pos_encoding import Embedder
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class DecoderHead:
+    """4-layer GELU MLP (ref base_decoder.py:8-27)."""
+
+    n_features: int
+    out_features: int = 3
+    hidden_dim: int = 128
+
+    def _dims(self):
+        h = self.hidden_dim
+        return [(self.n_features, h), (h, h), (h, h), (h, self.out_features)]
+
+    def init(self, key) -> Params:
+        p = {}
+        for i, (din, dout) in enumerate(self._dims()):
+            kw, kb = jax.random.split(jax.random.fold_in(key, i))
+            bound = 1.0 / jnp.sqrt(din)  # torch.nn.Linear default init
+            p[f"fc{i}"] = {
+                "weight": jax.random.uniform(kw, (dout, din), jnp.float32, -bound, bound),
+                "bias": jax.random.uniform(kb, (dout,), jnp.float32, -bound, bound),
+            }
+        return p
+
+    def apply(self, params: Params, plane_features: jax.Array, cond: jax.Array) -> jax.Array:
+        """plane_features (n_planes, M, 32) — averaged over planes like the
+        reference (base_decoder.py:21); cond (M, D)."""
+        x = jnp.concatenate([jnp.mean(plane_features, axis=0), cond], axis=-1)
+        for i in range(4):
+            w = params[f"fc{i}"]["weight"]
+            b = params[f"fc{i}"]["bias"]
+            x = x @ w.T.astype(x.dtype) + b.astype(x.dtype)
+            if i < 3:
+                x = jax.nn.gelu(x, approximate=False)
+        return x
+
+
+_CHAINS = {
+    # name -> ordered (attr, out_dim); cond dim grows by out_dim each step
+    "sequential_reversed": (("color", 3), ("opacity", 1), ("rotation", 4), ("scale", 3), ("xyz", 3)),
+    "sequential": (("xyz", 3), ("scale", 3), ("rotation", 4), ("opacity", 1), ("color", 3)),
+    "parallel": (("xyz", 3), ("scale", 3), ("rotation", 4), ("opacity", 1), ("color", 3)),
+}
+
+
+@dataclass(frozen=True)
+class GaussianDecoder:
+    generator: TriPlaneGenerator
+    decoder_type: str = "sequential_reversed"
+    hidden_dim: int = 128
+    use_xyz_embedding: bool = False
+    use_gen_finetune: bool = True
+
+    @property
+    def embedder(self) -> Optional[Embedder]:
+        return Embedder(include_input=True, input_dims=3, num_freqs=10) if self.use_xyz_embedding else None
+
+    @property
+    def position_dim(self) -> int:
+        return self.embedder.out_dim if self.use_xyz_embedding else 3
+
+    @property
+    def scale_offset(self) -> float:
+        return -2.5 if self.decoder_type == "sequential_reversed" else -2.0
+
+    def _heads(self) -> Dict[str, DecoderHead]:
+        heads = {}
+        extra = 0
+        for name, out_dim in _CHAINS[self.decoder_type]:
+            cond = self.position_dim + (extra if self.decoder_type != "parallel" else 0)
+            heads[name] = DecoderHead(
+                n_features=32 + cond, out_features=out_dim, hidden_dim=self.hidden_dim
+            )
+            extra += out_dim
+        return heads
+
+    def init(self, key, generator_params: Optional[Params] = None) -> Params:
+        """Head params (+ the fine-tunable generator copy under 'G')."""
+        p: Params = {}
+        for i, (name, head) in enumerate(sorted(self._heads().items())):
+            p[name] = head.init(jax.random.fold_in(key, i))
+        if generator_params is not None:
+            p["G"] = generator_params
+        return p
+
+    def activate_scale(self, scale):
+        return -jax.nn.softplus(scale + 5.0) + self.scale_offset
+
+    # -- per-point decode (planes already synthesised) ------------------------
+
+    def decode_from_planes(self, params: Params, planes: jax.Array, init_position: jax.Array) -> EasyDict:
+        """planes (1, 3, C*D, H, W); init_position (M, 3) -> EasyDict of raw
+        attrs {xyz, scale, rotation, opacity, color} each (M, dim).
+
+        `scale` is returned ACTIVATED (like the reference forward), the
+        others raw — render_simple applies exp/sigmoid/normalize, so the
+        activated scale is compensated there via log. See render path.
+        """
+        g = self.generator
+        feats = sample_from_planes(
+            g.renderer.plane_axes, planes, init_position[None],
+            box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
+        )[0]  # (n_planes, M, 32)
+
+        heads = self._heads()
+        result = EasyDict()
+        cond = self.embedder(init_position) if self.use_xyz_embedding else init_position
+
+        if self.decoder_type == "parallel":
+            for name, out_dim in _CHAINS["parallel"]:
+                v = heads[name].apply(params[name], feats, cond)
+                if name == "xyz":
+                    v = v * 0.01 + init_position
+                elif name == "scale":
+                    v = self.activate_scale(v)
+                result[name] = v
+            return result
+
+        for name, out_dim in _CHAINS[self.decoder_type]:
+            v = heads[name].apply(params[name], feats, cond)
+            if name == "xyz":
+                v = v * 0.01 + init_position
+            elif name == "scale":
+                v = self.activate_scale(v)
+            result[name] = v
+            cond = jnp.concatenate([cond, v], axis=-1)
+        return result
+
+    # -- full forward (ref sequential_decoder_reverse.py:38-87) ---------------
+
+    def synthesize_planes(self, params: Params, z, gan_camera_params, truncation_psi=1.0):
+        """Run the fine-tunable G copy: mapping (+zero-cam convention per
+        variant) + synthesis -> feature planes."""
+        g = self.generator
+        gp = params["G"]
+        if self.decoder_type == "sequential":
+            ws = g.mapping(gp, z, gan_camera_params, truncation_psi=truncation_psi)
+        else:
+            ws = g.mapping(gp, z, jnp.zeros_like(gan_camera_params), truncation_psi=truncation_psi)
+        planes = g.synthesis_planes(gp, ws, noise_mode="const")
+        return planes, ws
+
+    def apply(self, params: Params, z, gan_camera_params, init_position, truncation_psi=1.0) -> EasyDict:
+        planes, _ = self.synthesize_planes(params, z, gan_camera_params, truncation_psi)
+        return self.decode_from_planes(params, planes, init_position)
+
+    def trainable_filter(self, path: Tuple, _leaf) -> bool:
+        """optax mask: heads always train; 'G' only with use_gen_finetune
+        (ref get_params_custom, sequential_decoder_reverse.py:89-99)."""
+        if path and getattr(path[0], "key", None) == "G":
+            return self.use_gen_finetune
+        return True
