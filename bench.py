@@ -1,0 +1,76 @@
+"""Headline benchmark: decoded + rendered 512^2 head frames/sec/chip.
+
+Runs the flagship PanoHead-shaped pipeline (BASELINE.md config #1/#5): per
+frame, the full decoder forward (mapping -> 256^2 tri-grid synthesis ->
+500k-point tri-grid sampling -> 5 MLP heads) followed by the differentiable
+tile rasterizer at 512^2. Random weights (no pretrained checkpoints in this
+environment) — identical FLOP/memory profile to deployed weights.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+vs_baseline relative to the 30 fps/chip target (BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from gaussian_gan_decoder_tpu.flagship import (
+        decode_and_render,
+        default_camera_params,
+        flagship_decoder,
+        flagship_raster_config,
+    )
+
+    n_points = int(os.environ.get("BENCH_POINTS", 500_000))
+    image_size = int(os.environ.get("BENCH_IMAGE", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    dec = flagship_decoder()
+    params = dec.init(
+        jax.random.PRNGKey(0),
+        generator_params=dec.generator.init(jax.random.PRNGKey(1)),
+    )
+    cp, cam2world = default_camera_params()
+    init_pos = (jax.random.uniform(jax.random.PRNGKey(2), (n_points, 3)) - 0.5) * 0.4
+    fov = jnp.asarray(0.227)
+    rcfg = flagship_raster_config()
+
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
+
+    @jax.jit
+    def frame(params, z, cp, cam2world, init_pos, fov):
+        img, _ = decode_and_render(
+            dec, params, z, cp, cam2world, init_pos, fov,
+            image_size=image_size, raster_cfg=rcfg, backend=backend,
+        )
+        # scalar checksum: forces full device execution with minimal
+        # transfer (block_until_ready is unreliable through the axon tunnel)
+        return jnp.sum(img)
+
+    zs = jax.random.normal(jax.random.PRNGKey(3), (iters + 1, 1, 512))
+    # compile + warmup
+    float(frame(params, zs[0], cp, cam2world, init_pos, fov))
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        float(frame(params, zs[i + 1], cp, cam2world, init_pos, fov))
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": f"decode+splat render {image_size}^2, {n_points} gaussians, frames/sec/chip",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

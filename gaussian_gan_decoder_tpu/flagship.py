@@ -1,0 +1,80 @@
+"""Flagship model builders shared by bench.py / __graft_entry__.py / apps.
+
+The flagship configuration mirrors the PanoHead easy-khair deployment the
+reference decoder trains against (SURVEY §6: 512^2 targets, 500k gaussians,
+tri-grid depth 3, 256^2 planes) — same network shapes, random init unless
+ported weights are supplied.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decoder.heads import GaussianDecoder
+from .gaussians.cameras import Camera, make_camera
+from .models.triplane import TriPlaneGenerator
+from .splat.rasterize import RasterizeConfig, render_simple
+
+
+def flagship_generator(variant: str = "panohead", img_resolution: int = 512) -> TriPlaneGenerator:
+    return TriPlaneGenerator(
+        z_dim=512, c_dim=25, w_dim=512,
+        img_resolution=img_resolution, img_channels=3,
+        variant=variant,
+    )
+
+
+def flagship_decoder(
+    gen: Optional[TriPlaneGenerator] = None, hidden_dim: int = 128
+) -> GaussianDecoder:
+    return GaussianDecoder(
+        generator=gen or flagship_generator(),
+        decoder_type="sequential_reversed",
+        hidden_dim=hidden_dim,
+    )
+
+
+def flagship_raster_config() -> RasterizeConfig:
+    return RasterizeConfig(
+        tile_size=16, max_pairs=2 ** 21, tile_capacity=1024, chunk=64
+    )
+
+
+def default_camera_params(fov_deg: float = 13.0, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """Frontal orbit camera -> (camera_params (1,25), cam2world (4,4))."""
+    cam2world = np.eye(4, dtype=np.float32)
+    cam2world[:3, :3] = np.diag([-1.0, 1.0, -1.0])
+    cam2world[2, 3] = 2.7
+    focal = 1.0 / (2.0 * np.tan(np.deg2rad(fov_deg) / 2))
+    intr = np.array([[focal, 0, 0.5], [0, focal, 0.5], [0, 0, 1]], np.float32)
+    cp = jnp.asarray(np.concatenate([cam2world.reshape(-1), intr.reshape(-1)])[None], dtype)
+    return cp, jnp.asarray(cam2world, dtype)
+
+
+def decode_and_render(
+    decoder: GaussianDecoder,
+    params,
+    z: jax.Array,
+    camera_params: jax.Array,
+    cam2world: jax.Array,
+    init_position: jax.Array,
+    fov: float | jax.Array,
+    image_size: int = 512,
+    bg=(0.55717, 0.52256, 0.51045),
+    raster_cfg: Optional[RasterizeConfig] = None,
+    truncation_psi: float = 1.0,
+    backend: str = "xla",
+):
+    """The real-time editing hot path: latent -> gaussians -> 512^2 frame
+    (ref load_decoder.render_with_decoder, main/load_decoder.py:12-26)."""
+    decoded = decoder.apply(params, z, camera_params, init_position, truncation_psi)
+    cam = make_camera(image_size, jnp.asarray(fov), cam2world)
+    out = render_simple(
+        cam, decoded, bg=jnp.asarray(bg, jnp.float32),
+        config=raster_cfg or flagship_raster_config(),
+        backend=backend,
+    )
+    return out["render"][:3], decoded

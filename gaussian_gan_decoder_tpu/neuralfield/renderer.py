@@ -69,7 +69,14 @@ def sample_from_planes(
 
     Returns (N, n_planes, M, C). triplane_depth == 1 uses 2D bilinear taps
     (EG3D); > 1 uses trilinear taps over the depth-stacked sub-volumes
-    (PanoHead tri-grid).
+    (PanoHead tri-grid). Semantics identical to torch grid_sample with
+    align_corners=False / zeros padding (parity-tested).
+
+    TPU implementation: gathers on TPU cost ~constant per ROW regardless of
+    row width, so instead of 8 (or 4) separate corner gathers per tap we
+    pre-expand the volume into "corner bricks": E[p] = concat of the
+    2x2x2 (or 2x2) neighbourhood's channels, giving ONE wide gather per
+    (point, plane) — ~8x fewer gather rows at the HBM-bandwidth limit.
     """
     N, n_planes, CD, H, W = plane_features.shape
     M = coordinates.shape[1]
@@ -81,15 +88,105 @@ def sample_from_planes(
 
     if triplane_depth == 1:
         feats = plane_features.reshape(N * n_planes, C, H, W)
-        grid = proj[:, None, :, :2]  # (NP, 1, M, 2)
-        out = grid_sample_2d(feats, grid)  # (NP, C, 1, M)
-        out = out[:, :, 0]  # (NP, C, M)
+        out = _bilinear_brick_sample(feats, proj[..., :2])          # (NP, M, C)
     else:
         feats = plane_features.reshape(N * n_planes, C, D, H, W)
-        grid = proj[:, None, None, :, :]  # (NP, 1, 1, M, 3)
-        out = grid_sample_3d(feats, grid)  # (NP, C, 1, 1, M)
-        out = out[:, :, 0, 0]  # (NP, C, M)
-    out = jnp.transpose(out, (0, 2, 1)).reshape(N, n_planes, M, C)
+        out = _trilinear_brick_sample(feats, proj)                  # (NP, M, C)
+    return out.reshape(N, n_planes, M, C)
+
+
+def _unnorm(g, size):
+    # align_corners=False: x = ((g + 1) * size - 1) / 2
+    return ((g + 1.0) * size - 1.0) * 0.5
+
+
+def _corner_weights_1d(g, size):
+    x = _unnorm(g, size)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    w1 = x - x0
+    v0 = (x0 >= 0) & (x0 < size)
+    v1 = (x0 + 1 >= 0) & (x0 + 1 < size)
+    # clamped index into the zero-padded (+1 shifted) axis
+    idxp = jnp.clip(x0 + 1, 0, size)
+    return idxp, w1, v0, v1
+
+
+def _bilinear_brick_sample(feats, grid):
+    """feats (B, C, H, W); grid (B, M, 2) in [-1,1] -> (B, M, C)."""
+    B, C, H, W = feats.shape
+    # zero-pad one voxel on each side, channels-last
+    fp = jnp.pad(feats, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    fcl = jnp.transpose(fp, (0, 2, 3, 1))  # (B, H+2, W+2, C)
+    # corner-brick expansion: E[y, x] = [f[y, x], f[y, x+1], f[y+1, x], f[y+1, x+1]]
+    e = jnp.concatenate(
+        [
+            fcl[:, :-1, :-1], fcl[:, :-1, 1:],
+            fcl[:, 1:, :-1], fcl[:, 1:, 1:],
+        ],
+        axis=-1,
+    )  # (B, H+1, W+1, 4C)
+    e = e.reshape(B, (H + 1) * (W + 1), 4 * C)
+
+    ix, wx, vx0, vx1 = _corner_weights_1d(grid[..., 0], W)
+    iy, wy, vy0, vy1 = _corner_weights_1d(grid[..., 1], H)
+    idx = iy * (W + 1) + ix
+    rows = jax.vmap(lambda ee, ii: jnp.take(ee, ii, axis=0))(e, idx)  # (B, M, 4C)
+    c00, c01, c10, c11 = jnp.split(rows, 4, axis=-1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    m = lambda v: v[..., None].astype(rows.dtype)  # noqa: E731
+    out = (
+        c00 * m(vy0 & vx0) * (1 - wx) * (1 - wy)
+        + c01 * m(vy0 & vx1) * wx * (1 - wy)
+        + c10 * m(vy1 & vx0) * (1 - wx) * wy
+        + c11 * m(vy1 & vx1) * wx * wy
+    )
+    return out
+
+
+def _trilinear_brick_sample(feats, grid):
+    """feats (B, C, D, H, W); grid (B, M, 3) (x,y,z) in [-1,1] -> (B, M, C)."""
+    B, C, D, H, W = feats.shape
+    fp = jnp.pad(feats, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+    fcl = jnp.transpose(fp, (0, 2, 3, 4, 1))  # (B, D+2, H+2, W+2, C)
+    parts = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                parts.append(
+                    fcl[
+                        :,
+                        dz: dz + D + 1,
+                        dy: dy + H + 1,
+                        dx: dx + W + 1,
+                    ]
+                )
+    e = jnp.concatenate(parts, axis=-1)  # (B, D+1, H+1, W+1, 8C)
+    e = e.reshape(B, (D + 1) * (H + 1) * (W + 1), 8 * C)
+
+    ix, wx, vx0, vx1 = _corner_weights_1d(grid[..., 0], W)
+    iy, wy, vy0, vy1 = _corner_weights_1d(grid[..., 1], H)
+    iz, wz, vz0, vz1 = _corner_weights_1d(grid[..., 2], D)
+    idx = (iz * (H + 1) + iy) * (W + 1) + ix
+    rows = jax.vmap(lambda ee, ii: jnp.take(ee, ii, axis=0))(e, idx)  # (B, M, 8C)
+    cs = jnp.split(rows, 8, axis=-1)  # order (dz, dy, dx)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    wz = wz[..., None]
+    m = lambda v: v[..., None].astype(rows.dtype)  # noqa: E731
+    vz = (vz0, vz1)
+    vy = (vy0, vy1)
+    vx = (vx0, vx1)
+    wzs = (1 - wz, wz)
+    wys = (1 - wy, wy)
+    wxs = (1 - wx, wx)
+    out = 0.0
+    k = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                out = out + cs[k] * m(vz[dz] & vy[dy] & vx[dx]) * wzs[dz] * wys[dy] * wxs[dx]
+                k += 1
     return out
 
 

@@ -26,13 +26,15 @@ def _unnormalize(g, size):
     return ((g + 1.0) * size - 1.0) * 0.5
 
 
-def _gather_2d(img, iy, ix, valid):
-    """img: (C, H, W); iy/ix/valid: (...,) int/bool -> (..., C)."""
-    H, W = img.shape[-2:]
-    flat = img.reshape(img.shape[0], H * W)
+def _gather_2d(img_cl, iy, ix, valid, H, W):
+    """img_cl: (H*W, C) channels-last; iy/ix/valid: (...,) -> (..., C).
+
+    Channels-last rows make every gathered element a contiguous C-vector
+    on the lane dimension — the layout TPU gathers want (a (C, HW) gather
+    strides each tap across the whole plane and is ~100x slower at 500k
+    taps)."""
     idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-    out = jnp.take(flat, idx, axis=1)  # (C, ...)
-    out = jnp.moveaxis(out, 0, -1)
+    out = jnp.take(img_cl, idx, axis=0)  # (..., C)
     return out * valid[..., None].astype(out.dtype)
 
 
@@ -46,8 +48,9 @@ def grid_sample_2d(input: jax.Array, grid: jax.Array) -> jax.Array:
       (N, C, Ho, Wo)
     """
     N, C, H, W = input.shape
+    input_cl = jnp.transpose(input, (0, 2, 3, 1)).reshape(N, H * W, C)
 
-    def one(img, g):
+    def one(img_cl, g):
         gx = _unnormalize(g[..., 0], W)
         gy = _unnormalize(g[..., 1], H)
         x0 = jnp.floor(gx).astype(jnp.int32)
@@ -59,7 +62,7 @@ def grid_sample_2d(input: jax.Array, grid: jax.Array) -> jax.Array:
 
         def val(iy, ix):
             valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-            return _gather_2d(img, iy, ix, valid)
+            return _gather_2d(img_cl, iy, ix, valid, H, W)
 
         v00 = val(y0, x0)
         v01 = val(y0, x1)
@@ -75,20 +78,17 @@ def grid_sample_2d(input: jax.Array, grid: jax.Array) -> jax.Array:
         )
         return jnp.moveaxis(out, -1, 0)  # (C, Ho, Wo)
 
-    return jax.vmap(one)(input, grid)
+    return jax.vmap(one)(input_cl, grid)
 
 
-def _gather_3d(vol, iz, iy, ix, valid):
-    """vol: (C, D, H, W) -> (..., C)."""
-    C, D, H, W = vol.shape
-    flat = vol.reshape(C, D * H * W)
+def _gather_3d(vol_cl, iz, iy, ix, valid, D, H, W):
+    """vol_cl: (D*H*W, C) channels-last -> (..., C). See _gather_2d."""
     idx = (
         jnp.clip(iz, 0, D - 1) * (H * W)
         + jnp.clip(iy, 0, H - 1) * W
         + jnp.clip(ix, 0, W - 1)
     )
-    out = jnp.take(flat, idx, axis=1)
-    out = jnp.moveaxis(out, 0, -1)
+    out = jnp.take(vol_cl, idx, axis=0)
     return out * valid[..., None].astype(out.dtype)
 
 
@@ -103,8 +103,9 @@ def grid_sample_3d(input: jax.Array, grid: jax.Array) -> jax.Array:
       (N, C, Do, Ho, Wo)
     """
     N, C, D, H, W = input.shape
+    input_cl = jnp.transpose(input, (0, 2, 3, 4, 1)).reshape(N, D * H * W, C)
 
-    def one(vol, g):
+    def one(vol_cl, g):
         gx = _unnormalize(g[..., 0], W)
         gy = _unnormalize(g[..., 1], H)
         gz = _unnormalize(g[..., 2], D)
@@ -124,7 +125,7 @@ def grid_sample_3d(input: jax.Array, grid: jax.Array) -> jax.Array:
                 & (iz >= 0)
                 & (iz < D)
             )
-            return _gather_3d(vol, iz, iy, ix, valid)
+            return _gather_3d(vol_cl, iz, iy, ix, valid, D, H, W)
 
         c00 = val(z0, y0, x0) * (1 - wx) + val(z0, y0, x0 + 1) * wx
         c01 = val(z0, y0 + 1, x0) * (1 - wx) + val(z0, y0 + 1, x0 + 1) * wx
@@ -135,4 +136,4 @@ def grid_sample_3d(input: jax.Array, grid: jax.Array) -> jax.Array:
         out = c0 * (1 - wz) + c1 * wz
         return jnp.moveaxis(out, -1, 0)  # (C, Do, Ho, Wo)
 
-    return jax.vmap(one)(input, grid)
+    return jax.vmap(one)(input_cl, grid)

@@ -247,12 +247,16 @@ def render_simple(
     xyz_offset: Optional[jax.Array] = None,
     scale_modifier: float = 1.0,
     config: RasterizeConfig = RasterizeConfig(),
+    backend: str = "xla",
 ) -> Dict[str, jax.Array]:
     """Decoder-path renderer (ref gaussian_renderer/__init__.py:105-186).
 
     `decoded` carries RAW decoder outputs {xyz, scale, rotation, opacity,
     color}; activations applied here exactly like GaussianModel properties
     (exp / normalize / sigmoid; color is the degree-0 SH feature).
+
+    backend: 'xla' (differentiable, any platform) or 'pallas' (fast
+    forward-only TPU path, splat/fast_raster.py).
     """
     means = decoded["xyz"]
     if xyz_offset is not None:
@@ -261,6 +265,14 @@ def render_simple(
     rotations = decoded["rotation"]  # normalized inside projection
     opacity = jax.nn.sigmoid(decoded["opacity"])
     shs = decoded["color"][:, None, :]  # (N, 1, 3) degree-0 feature
+    if backend == "pallas":
+        from .fast_raster import rasterize_fast
+
+        return rasterize_fast(
+            cam, means, scales, rotations, opacity,
+            shs=shs, sh_degree=0, bg=bg, scale_modifier=scale_modifier,
+            config=config,
+        )
     return rasterize(
         cam, means, scales, rotations, opacity,
         shs=shs, sh_degree=0, bg=bg, scale_modifier=scale_modifier,
