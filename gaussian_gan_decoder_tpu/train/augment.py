@@ -1,0 +1,204 @@
+"""ADA augmentation pipeline, TPU-native.
+
+Re-design of /root/reference/PanoHead/training/augment.py:124-565
+(AugmentPipe): the same augmentation categories with the same default
+probability multipliers —
+
+  pixel blitting:  xflip, rotate90, xint (integer translation)
+  geometric:       scale, rotate, aniso, xfrac — composed into ONE inverse
+                   affine and applied with a single bilinear grid-sample
+  color:           brightness, contrast, lumaflip, hue, saturation —
+                   composed into ONE 4x4 color matrix
+  corruption:      additive gaussian noise, cutout
+
+plus the adaptive-p heuristic (`ada_update`, ref training_loop.py:316-325).
+
+Documented deviation: the reference applies geometric warps with wavelet
+pre/post filtering and reflection padding to be strictly alias-free
+(augment.py:212-320); here a plain bilinear resample with zeros padding is
+used — the augmentation distribution is the same, the interpolation is
+cheaper and non-alias-free (acceptable for the D-input corruption role).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import grid_sample_2d
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    # probability multipliers (ref augment.py:129-151 defaults)
+    xflip: float = 1.0
+    rotate90: float = 1.0
+    xint: float = 1.0
+    xint_max: float = 0.125
+    scale: float = 1.0
+    rotate: float = 1.0
+    aniso: float = 1.0
+    xfrac: float = 1.0
+    scale_std: float = 0.2
+    rotate_max: float = 1.0
+    aniso_std: float = 0.2
+    xfrac_std: float = 0.125
+    brightness: float = 1.0
+    contrast: float = 1.0
+    lumaflip: float = 1.0
+    hue: float = 1.0
+    saturation: float = 1.0
+    brightness_std: float = 0.2
+    contrast_std: float = 0.5
+    hue_max: float = 1.0
+    saturation_std: float = 1.0
+    noise: float = 0.0
+    cutout: float = 0.0
+    noise_std: float = 0.1
+    cutout_size: float = 0.5
+
+
+def _rot2(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z = jnp.zeros_like(theta)
+    o = jnp.ones_like(theta)
+    return jnp.stack(
+        [jnp.stack([c, -s, z], -1), jnp.stack([s, c, z], -1), jnp.stack([z, z, o], -1)],
+        -2,
+    )
+
+
+def _affine(sx, sy, tx, ty):
+    z = jnp.zeros_like(sx)
+    o = jnp.ones_like(sx)
+    return jnp.stack(
+        [jnp.stack([sx, z, tx], -1), jnp.stack([z, sy, ty], -1), jnp.stack([z, z, o], -1)],
+        -2,
+    )
+
+
+def augment_pipe(key, images: jax.Array, p: jax.Array, cfg: AugmentConfig = AugmentConfig()):
+    """images (N, C, H, W) in [-1,1]; p scalar adaptive probability."""
+    n, c, h, w = images.shape
+    keys = iter(jax.random.split(key, 24))
+    nk = lambda: next(keys)  # noqa: E731
+
+    def bern(prob_mult):
+        return jax.random.uniform(nk(), (n,)) < (p * prob_mult)
+
+    # ---- geometric: compose inverse transforms in NDC ------------------------
+    G = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+
+    if cfg.xflip > 0:
+        flip = jnp.where(bern(cfg.xflip), -1.0, 1.0)
+        G = G @ _affine(flip, jnp.ones((n,)), jnp.zeros((n,)), jnp.zeros((n,)))
+    if cfg.rotate90 > 0:
+        k90 = jax.random.randint(nk(), (n,), 0, 4)
+        theta = jnp.where(bern(cfg.rotate90), k90.astype(jnp.float32) * (math.pi / 2), 0.0)
+        G = G @ _rot2(theta)
+    if cfg.xint > 0:
+        t = (jax.random.uniform(nk(), (n, 2)) * 2 - 1) * cfg.xint_max
+        t = jnp.where(bern(cfg.xint)[:, None], jnp.round(t * jnp.asarray([w, h]) ) / jnp.asarray([w, h]) * 2, 0.0)
+        G = G @ _affine(jnp.ones((n,)), jnp.ones((n,)), t[:, 0], t[:, 1])
+    if cfg.scale > 0:
+        s = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.scale_std)
+        s = jnp.where(bern(cfg.scale), s, 1.0)
+        G = G @ _affine(s, s, jnp.zeros((n,)), jnp.zeros((n,)))
+    if cfg.rotate > 0:
+        theta = (jax.random.uniform(nk(), (n,)) * 2 - 1) * math.pi * cfg.rotate_max
+        theta = jnp.where(bern(cfg.rotate), theta, 0.0)
+        G = G @ _rot2(-theta)
+    if cfg.aniso > 0:
+        a = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.aniso_std)
+        a = jnp.where(bern(cfg.aniso), a, 1.0)
+        G = G @ _affine(a, 1.0 / a, jnp.zeros((n,)), jnp.zeros((n,)))
+    if cfg.xfrac > 0:
+        t = jax.random.normal(nk(), (n, 2)) * cfg.xfrac_std
+        t = jnp.where(bern(cfg.xfrac)[:, None], t * 2, 0.0)
+        G = G @ _affine(jnp.ones((n,)), jnp.ones((n,)), t[:, 0], t[:, 1])
+
+    # apply: sample source at G_inv @ target (G already composed as inverse)
+    ys, xs = jnp.meshgrid(
+        jnp.linspace(-1, 1, h), jnp.linspace(-1, 1, w), indexing="ij"
+    )
+    grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (H, W, 3)
+    src = jnp.einsum("nij,hwj->nhwi", G, grid)
+    images = grid_sample_2d(images, src[..., :2] / src[..., 2:3])
+
+    # ---- color: compose a 4x4 matrix on homogeneous rgb ----------------------
+    C = jnp.broadcast_to(jnp.eye(4), (n, 4, 4))
+    v_axis = jnp.asarray([1.0, 1.0, 1.0, 0.0]) / math.sqrt(3)
+
+    if cfg.brightness > 0:
+        b = jax.random.normal(nk(), (n,)) * cfg.brightness_std
+        b = jnp.where(bern(cfg.brightness), b, 0.0)
+        M = jnp.broadcast_to(jnp.eye(4), (n, 4, 4)).at[:, :3, 3].set(b[:, None])
+        C = M @ C
+    if cfg.contrast > 0:
+        s = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.contrast_std)
+        s = jnp.where(bern(cfg.contrast), s, 1.0)
+        M = jax.vmap(lambda ss: jnp.diag(jnp.asarray([ss, ss, ss, 1.0])))(s)
+        C = M @ C
+    if cfg.lumaflip > 0:
+        do = bern(cfg.lumaflip).astype(jnp.float32)
+        house = jnp.eye(4) - 2 * jnp.outer(v_axis, v_axis)
+        M = jnp.eye(4)[None] * (1 - do)[:, None, None] + house[None] * do[:, None, None]
+        C = M @ C
+    if cfg.hue > 0:
+        theta = (jax.random.uniform(nk(), (n,)) * 2 - 1) * math.pi * cfg.hue_max
+        theta = jnp.where(bern(cfg.hue), theta, 0.0)
+
+        def rot_around_v(t):
+            # Rodrigues rotation about (1,1,1)/sqrt(3) embedded in 4x4
+            k = v_axis[:3]
+            K = jnp.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+            R = jnp.eye(3) + jnp.sin(t) * K + (1 - jnp.cos(t)) * (K @ K)
+            M = jnp.eye(4).at[:3, :3].set(R)
+            return M
+
+        C = jax.vmap(rot_around_v)(theta) @ C
+    if cfg.saturation > 0:
+        s = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.saturation_std)
+        s = jnp.where(bern(cfg.saturation), s, 1.0)
+        outer = jnp.outer(v_axis, v_axis)
+
+        def sat(ss):
+            return outer + (jnp.eye(4) - outer) * ss
+
+        C = jax.vmap(sat)(s) @ C
+
+    rgb = jnp.concatenate(
+        [images[:, :3], jnp.ones((n, 1, h, w), images.dtype)], axis=1
+    )
+    rgb = jnp.einsum("nij,njhw->nihw", C.astype(images.dtype), rgb)[:, :3]
+    images = jnp.concatenate([rgb, images[:, 3:]], axis=1) if c > 3 else rgb
+
+    # ---- corruption -----------------------------------------------------------
+    if cfg.noise > 0:
+        sigma = jnp.abs(jax.random.normal(nk(), (n,))) * cfg.noise_std
+        sigma = jnp.where(bern(cfg.noise), sigma, 0.0)
+        images = images + jax.random.normal(nk(), images.shape, images.dtype) * sigma[:, None, None, None]
+    if cfg.cutout > 0:
+        center = jax.random.uniform(nk(), (n, 2))
+        do = bern(cfg.cutout)
+        ys_n = (jnp.arange(h) + 0.5) / h
+        xs_n = (jnp.arange(w) + 0.5) / w
+        inside_y = jnp.abs(ys_n[None, :] - center[:, 1:2]) < cfg.cutout_size / 2
+        inside_x = jnp.abs(xs_n[None, :] - center[:, 0:1]) < cfg.cutout_size / 2
+        mask = inside_y[:, :, None] & inside_x[:, None, :]
+        mask = mask & do[:, None, None]
+        images = jnp.where(mask[:, None, :, :], 0.0, images)
+
+    return images
+
+
+def ada_update(p, real_logit_signs_mean, batch_size, ada_interval: int = 4,
+               ada_target: float = 0.6, ada_kimg: float = 500.0):
+    """Adaptive-p heuristic (ref training_loop.py:316-325)."""
+    adjust = jnp.sign(real_logit_signs_mean - ada_target) * (
+        batch_size * ada_interval
+    ) / (ada_kimg * 1000.0)
+    return jnp.clip(p + adjust, 0.0, 1.0)
