@@ -1,0 +1,87 @@
+"""GAN / decoder metric CLI.
+
+Re-design of /root/reference/eg3d/calc_metrics.py (:99-100 --use_decoder)
++ run_metric_pipeline.py batching: compute fid/kid/pr/is over a dataset
+vs either a ported GAN or a decoder snapshot.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--metrics", default="fid50k_full", help="comma list")
+    p.add_argument("--data", required=True, help="real image zip/dir with labels")
+    p.add_argument("--network_pkl", default="", help="ported GAN")
+    p.add_argument("--checkpoint", default="", help="decoder snapshot (decoder-FID)")
+    p.add_argument("--num_items", type=int, default=50_000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--vgg_weights", default="", help="embedder weights")
+    p.add_argument("--force_cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..data import ImageFolderDataset, InfiniteSampler
+    from ..losses import VGG16LPIPS
+    from ..metrics.metric_main import (
+        calc_metric, decoder_image_batches, generator_image_batches,
+    )
+
+    ds = ImageFolderDataset(args.data, use_labels=True)
+    sampler = iter(InfiniteSampler(len(ds), seed=0))
+
+    def real_batches():
+        while True:
+            imgs = np.stack([ds[next(sampler)][0] for _ in range(args.batch)])
+            yield imgs.astype(np.float32)
+
+    def c_source():
+        while True:
+            labs = np.stack([ds.get_label(next(sampler)) for _ in range(args.batch)])
+            yield labs.astype(np.float32)
+
+    vgg = VGG16LPIPS()
+    vgg_params = (
+        vgg.load_torch_state_dict(dict(np.load(args.vgg_weights)))
+        if args.vgg_weights else vgg.init(jax.random.PRNGKey(7))
+    )
+    if not args.vgg_weights:
+        print("WARNING: random-weight embedder — metric values are only "
+              "comparable across runs of THIS framework with the same seed")
+
+    feat = jax.jit(lambda x: vgg.embed(vgg_params, jnp.asarray(x)))
+
+    if args.checkpoint:
+        from ..decoder.snapshot import load_decoder
+
+        decoder, params, configs = load_decoder(args.checkpoint)
+        gen_batches = decoder_image_batches(
+            decoder, params, configs.get("frozen_G_params", params["G"]),
+            configs.get("target_cfg"), jax.random.PRNGKey(1), c_source(),
+        )
+    else:
+        from ..port import load_generator_pkl
+
+        gen, gp = load_generator_pkl(args.network_pkl)
+        gen_batches = generator_image_batches(
+            gen, gp, jax.random.PRNGKey(1), args.batch, c_source()
+        )
+
+    out = {}
+    for m in args.metrics.split(","):
+        r = calc_metric(m, real_batches=real_batches(), gen_batches=gen_batches,
+                        feature_fn=feat, num_items=args.num_items)
+        out.update(r["results"])
+        print(json.dumps(r))
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Metric machinery sanity: FID/KID/PR behave correctly on known
+distributions; registry + decoder stream plumbing."""
+import numpy as np
+import pytest
+
+from gaussian_gan_decoder_tpu.metrics import (
+    FeatureStats,
+    fid_from_stats,
+    frechet_distance,
+    kid_from_features,
+    precision_recall,
+)
+from gaussian_gan_decoder_tpu.metrics.metric_main import calc_metric, list_metrics
+
+
+def _stats(x):
+    s = FeatureStats(capture_mean_cov=True)
+    s.append(x)
+    return s
+
+
+def test_fid_zero_for_identical_and_grows_with_shift(rng):
+    a = rng.randn(2000, 16)
+    fid_same = fid_from_stats(_stats(a), _stats(a.copy()))
+    assert abs(fid_same) < 1e-6
+    b = a + 2.0
+    fid_shift = fid_from_stats(_stats(a), _stats(b))
+    assert abs(fid_shift - 16 * 4.0) < 1.0  # ||mu_diff||^2 = D * 2^2
+
+
+def test_frechet_known_value():
+    mu1, mu2 = np.zeros(4), np.ones(4)
+    c = np.eye(4)
+    # same covariance: FID = ||mu||^2
+    np.testing.assert_allclose(frechet_distance(mu1, c, mu2, c), 4.0, atol=1e-8)
+
+
+def test_kid_zero_same_positive_shifted(rng):
+    a = rng.randn(800, 8)
+    b = rng.randn(800, 8)
+    kid_same = kid_from_features(a, a.copy(), num_subsets=10, max_subset_size=400)
+    kid_diff = kid_from_features(a, b + 3, num_subsets=10, max_subset_size=400)
+    # unbiased MMD^2 estimate fluctuates around 0 for same-distribution sets
+    assert abs(kid_same) < 0.05
+    assert kid_diff > 1.0
+
+
+def test_precision_recall_overlap(rng):
+    a = rng.randn(300, 4)
+    p, r = precision_recall(a, a.copy() + rng.randn(300, 4) * 0.01)
+    assert p > 0.9 and r > 0.9
+    far = a + 100.0
+    p2, r2 = precision_recall(a, far)
+    assert p2 < 0.1 and r2 < 0.1
+
+
+def test_registry_and_fid_pipeline(rng):
+    assert "fid50k_full" in list_metrics()
+    feats = lambda imgs: imgs.reshape(imgs.shape[0], -1)[:, :8]  # noqa: E731
+
+    def batches(shift):
+        while True:
+            yield rng.randn(16, 2, 2, 2) + shift
+
+    r = calc_metric(
+        "fid50k_full", real_batches=batches(0.0), gen_batches=batches(0.0),
+        feature_fn=feats, num_items=256,
+    )
+    assert r["results"]["fid50k_full"] < 0.5
+    r2 = calc_metric(
+        "fid50k_full", real_batches=batches(0.0), gen_batches=batches(5.0),
+        feature_fn=feats, num_items=256,
+    )
+    assert r2["results"]["fid50k_full"] > 50.0
