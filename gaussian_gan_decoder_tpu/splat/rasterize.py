@@ -145,6 +145,10 @@ def rasterize(
     scale_modifier: float = 1.0,
     cov3d_precomp: Optional[jax.Array] = None,
     config: RasterizeConfig = RasterizeConfig(),
+    means2d_offset: Optional[jax.Array] = None,  # (N,2) zeros; its gradient
+    # is the screen-space mean gradient the densifier thresholds on (the
+    # CUDA wrapper's `screenspace_points` trick, ref gaussian_renderer/
+    # __init__.py:28-33)
 ) -> Dict[str, jax.Array]:
     """Render Gaussians -> {'render' (3,H,W), 'radii' (N,), 'alpha' (1,H,W),
     'depth' (1,H,W), 'n_dropped' scalar}."""
@@ -165,6 +169,8 @@ def rasterize(
     proj = project_gaussians(
         cam, means3d, scales, rotations, scale_modifier, cov3d_precomp
     )
+    if means2d_offset is not None:
+        proj = proj._replace(pix_xy=proj.pix_xy + means2d_offset)
 
     if colors_precomp is None:
         # shs: (N, K_sh, 3) feature layout (ref get_features) -> (N, 3, K_sh)
