@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..neuralfield import ImportanceRenderer, sample_rays
-from ..ops import resize_bilinear
+
 from .stylegan2 import (
     FullyConnectedLayer,
     Generator as StyleGAN2Backbone,

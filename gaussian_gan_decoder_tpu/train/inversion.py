@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..decoder.camera_sampling import FOV_to_intrinsics, sample_pose_lookat
+from ..decoder.camera_sampling import sample_pose_lookat
 from ..losses import VGG16LPIPS
 from ..losses.image import area_downsample
 from ..models.triplane import TriPlaneGenerator
