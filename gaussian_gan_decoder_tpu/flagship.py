@@ -38,8 +38,11 @@ def flagship_decoder(
 
 
 def flagship_raster_config() -> RasterizeConfig:
+    # decoder scales are tiny (exp(-softplus(s+5)-2.5) world units), so rect
+    # areas are almost always 1-2 tiles: 2 structural copies + overflow lane
     return RasterizeConfig(
-        tile_size=16, max_pairs=2 ** 21, tile_capacity=1024, chunk=64
+        tile_size=16, max_pairs=2 ** 21, tile_capacity=1024, chunk=64,
+        static_copies=2, overflow_budget=2 ** 18,
     )
 
 

@@ -119,8 +119,8 @@ def rasterize_fast(
     bg: Optional[jax.Array] = None,
     scale_modifier: float = 1.0,
     config: RasterizeConfig = RasterizeConfig(),
-    static_copies: int = 4,
-    overflow_budget: int = 2 ** 17,
+    static_copies: Optional[int] = None,
+    overflow_budget: Optional[int] = None,
     interpret: bool = False,
 ) -> Dict[str, jax.Array]:
     """Forward-only fast rasterizer (Pallas blend). Same outputs as
@@ -145,7 +145,9 @@ def rasterize_fast(
 
     attrs = _pack_attrs(proj, colors, opacities)
     tile_starts, attrs_t, n_dropped = bin_pairs_lexsort(
-        proj, attrs, grid_x, grid_y, ts, static_copies, overflow_budget
+        proj, attrs, grid_x, grid_y, ts,
+        static_copies if static_copies is not None else config.static_copies,
+        overflow_budget if overflow_budget is not None else config.overflow_budget,
     )
     # pad so every segment DMA window stays in bounds
     slack = config.tile_capacity + CHUNK

@@ -47,6 +47,8 @@ class RasterizeConfig:
     max_pairs: int = 2 ** 21      # gaussian->tile duplication budget
     tile_capacity: int = 1024     # per-tile depth-ordered blend budget
     chunk: int = 64               # capacity-axis chunk in the blender
+    static_copies: int = 4        # fast path: structural tile duplicates
+    overflow_budget: int = 2 ** 17  # fast path: dynamic lane for big rects
 
 
 def _tile_rects(pix_xy, radius, grid_x, grid_y, tile_size):
