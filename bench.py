@@ -31,8 +31,11 @@ def main():
     n_points = int(os.environ.get("BENCH_POINTS", 500_000))
     image_size = int(os.environ.get("BENCH_IMAGE", 512))
     iters = int(os.environ.get("BENCH_ITERS", 10))
+    variant = os.environ.get("BENCH_VARIANT", "panohead")  # or 'eg3d'
 
-    dec = flagship_decoder()
+    from gaussian_gan_decoder_tpu.flagship import flagship_generator
+
+    dec = flagship_decoder(gen=flagship_generator(variant=variant))
     params = dec.init(
         jax.random.PRNGKey(0),
         generator_params=dec.generator.init(jax.random.PRNGKey(1)),

@@ -95,6 +95,7 @@ class GaussianDecoder:
     hidden_dim: int = 128
     use_xyz_embedding: bool = False
     use_gen_finetune: bool = True
+    bf16_sampling: bool = False   # bf16 brick gathers (speed; ~2^-8 feat err)
 
     @property
     def embedder(self) -> Optional[Embedder]:
@@ -145,6 +146,7 @@ class GaussianDecoder:
         feats = sample_from_planes(
             g.renderer.plane_axes, planes, init_position[None],
             box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
+            brick_dtype=jnp.bfloat16 if self.bf16_sampling else None,
         )[0]  # (n_planes, M, 32)
 
         heads = self._heads()

@@ -28,12 +28,17 @@ def flagship_generator(variant: str = "panohead", img_resolution: int = 512) -> 
 
 
 def flagship_decoder(
-    gen: Optional[TriPlaneGenerator] = None, hidden_dim: int = 128
+    gen: Optional[TriPlaneGenerator] = None, hidden_dim: int = 128,
+    bf16_sampling: bool = True,
 ) -> GaussianDecoder:
+    """bf16_sampling halves the tri-grid brick bytes (~10 ms/frame) at
+    ~2^-8 relative feature error — on for the deployment path, off for
+    parity testing."""
     return GaussianDecoder(
         generator=gen or flagship_generator(),
         decoder_type="sequential_reversed",
         hidden_dim=hidden_dim,
+        bf16_sampling=bf16_sampling,
     )
 
 

@@ -64,6 +64,9 @@ def sample_from_planes(
     coordinates: jax.Array,      # (N, M, 3)
     box_warp: float,
     triplane_depth: int = 1,
+    brick_dtype=None,            # e.g. jnp.bfloat16: halve the expanded-
+    # volume bytes (build/transpose/gather); lerp still accumulates in the
+    # input dtype. ~2^-8 relative feature error — OFF by default (parity).
 ) -> jax.Array:
     """Probe the tri-plane/tri-grid at world coords (ref renderer.py:47-58).
 
@@ -86,13 +89,16 @@ def sample_from_planes(
     proj = project_onto_planes(plane_axes, coordinates)  # (N, P, M, 3)
     proj = proj.reshape(N * n_planes, M, 3)
 
+    out_dtype = plane_features.dtype
+    if brick_dtype is not None:
+        plane_features = plane_features.astype(brick_dtype)
     if triplane_depth == 1:
         feats = plane_features.reshape(N * n_planes, C, H, W)
         out = _bilinear_brick_sample(feats, proj[..., :2])          # (NP, M, C)
     else:
         feats = plane_features.reshape(N * n_planes, C, D, H, W)
         out = _trilinear_brick_sample(feats, proj)                  # (NP, M, C)
-    return out.reshape(N, n_planes, M, C)
+    return out.reshape(N, n_planes, M, C).astype(out_dtype)
 
 
 def _unnorm(g, size):
