@@ -1,0 +1,48 @@
+"""Point-axis sharding: sharded decode == single-device decode."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_gan_decoder_tpu.decoder.heads import GaussianDecoder
+from gaussian_gan_decoder_tpu.parallel import make_mesh
+from gaussian_gan_decoder_tpu.parallel.points import decode_points_sharded, sigma_grid_sharded
+from gaussian_gan_decoder_tpu.decoder.surface import sigma_grid
+from tests.test_models_triplane import tiny_generator
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual multi-device")
+def test_sharded_decode_matches_single_device():
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev, ("points",))
+    gen = tiny_generator("panohead")
+    gp = gen.init(jax.random.PRNGKey(0))
+    dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed", hidden_dim=16)
+    params = dec.init(jax.random.PRNGKey(1), generator_params=gp)
+
+    m = 64 * n_dev
+    pts = (jax.random.uniform(jax.random.PRNGKey(2), (m, 3)) - 0.5) * 0.5
+    ws = gen.mapping(gp, jax.random.normal(jax.random.PRNGKey(3), (1, 32)), jnp.zeros((1, 25)))
+    planes = gen.synthesis_planes(gp, ws, noise_mode="const")
+
+    ref = dec.decode_from_planes(params, planes, pts)
+    shd = decode_points_sharded(mesh, dec, params, planes, pts)
+    for k in ("xyz", "scale", "rotation", "opacity", "color"):
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(shd[k]), rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual multi-device")
+def test_sharded_sigma_grid_matches():
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev, ("points",))
+    gen = tiny_generator("panohead")
+    gp = gen.init(jax.random.PRNGKey(0))
+    ws = gen.mapping(gp, jax.random.normal(jax.random.PRNGKey(3), (1, 32)), jnp.zeros((1, 25)))
+    planes = gen.synthesis_planes(gp, ws, noise_mode="const")
+
+    ref = sigma_grid(gen, gp, planes, shape_res=16, chunk=2 ** 10)
+    shd = sigma_grid_sharded(mesh, gen, gp, planes, shape_res=16)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(shd), rtol=1e-5, atol=1e-6)
