@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .decoder.heads import GaussianDecoder
-from .gaussians.cameras import Camera, make_camera
+from .gaussians.cameras import make_camera
 from .models.triplane import TriPlaneGenerator
 from .splat.rasterize import RasterizeConfig, render_simple
 

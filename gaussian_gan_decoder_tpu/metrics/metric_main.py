@@ -13,11 +13,11 @@ none is supplied (documented) — fid/kid/pr run on any feature embedder.
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict
 
 import numpy as np
 
-from .feature_stats import FeatureStats, stats_for_iterator
+from .feature_stats import stats_for_iterator
 from .frechet import fid_from_stats
 from .kernel import kid_from_features
 from .precision_recall import precision_recall

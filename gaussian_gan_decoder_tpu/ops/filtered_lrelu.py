@@ -15,7 +15,6 @@ import math
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .bias_act import bias_act

@@ -19,7 +19,6 @@ flip_filter=False.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Union
 
 import jax

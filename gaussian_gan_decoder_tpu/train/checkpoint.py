@@ -14,9 +14,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 try:  # orbax is baked into the image; gate anyway for minimal installs

@@ -23,17 +23,15 @@ Design deltas (TPU-first):
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.discriminator import Discriminator, filtered_resizing
+from ..models.discriminator import Discriminator
 from ..models.triplane import TriPlaneGenerator
-from ..ops import filter2d
 
 
 @dataclass(frozen=True)
@@ -195,7 +193,11 @@ def make_gan_train_step(
             return jnp.mean(jnp.abs(s2 - s1)) * cfg.density_reg
 
         if cfg.density_reg > 0:
-            loss_reg = jax.lax.cond(do_reg, density_reg, lambda: jnp.asarray(0.0))
+            loss_reg = jax.lax.cond(
+                do_reg,
+                lambda: density_reg().astype(jnp.float32),
+                lambda: jnp.zeros((), jnp.float32),
+            )
             loss_g = loss_g + loss_reg * cfg.g_reg_interval
             metrics["Loss/G/reg"] = loss_reg
         return loss_g, metrics
@@ -245,7 +247,11 @@ def make_gan_train_step(
             return pen
 
         if cfg.r1_gamma > 0:
-            loss_r1 = jax.lax.cond(do_reg, r1, lambda: jnp.asarray(0.0))
+            loss_r1 = jax.lax.cond(
+                do_reg,
+                lambda: r1().astype(jnp.float32),
+                lambda: jnp.zeros((), jnp.float32),
+            )
             metrics["Loss/r1_penalty"] = loss_r1
             return loss_fake + loss_real + loss_r1 * cfg.d_reg_interval, metrics
         return loss_fake + loss_real, metrics

@@ -11,15 +11,14 @@ mean gradients, periodic opacity reset — all at FIXED capacity
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..gaussians.cameras import make_camera
-from ..gaussians.densify import densify_and_prune, get_expon_lr_func, reset_adam_state, reset_opacity
+from ..gaussians.densify import densify_and_prune, get_expon_lr_func, reset_adam_state
 from ..gaussians.model import GaussianScene, create_from_points
 from ..losses.image import l1_loss, ssim
 from ..splat.rasterize import RasterizeConfig, rasterize
