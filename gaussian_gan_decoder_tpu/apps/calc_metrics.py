@@ -56,7 +56,17 @@ def main(argv=None):
         print("WARNING: random-weight embedder — metric values are only "
               "comparable across runs of THIS framework with the same seed")
 
-    feat = jax.jit(lambda x: vgg.embed(vgg_params, jnp.asarray(x)))
+    from ..losses.image import area_downsample
+
+    @jax.jit
+    def _feat(x):
+        x = jnp.asarray(x, jnp.float32)
+        if x.shape[-1] > 256 and x.shape[-1] % 256 == 0:
+            x = area_downsample(x, 256)
+        return vgg.pooled_features(vgg_params, x)
+
+    # per-resolution jit cache; pooled features are resolution-independent
+    feat = _feat
 
     if args.checkpoint:
         from ..decoder.snapshot import load_decoder

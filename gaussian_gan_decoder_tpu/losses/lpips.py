@@ -93,6 +93,14 @@ class VGG16LPIPS:
             flat.append((f / np.sqrt(h * w)).reshape(n, -1))
         return jnp.concatenate(flat, axis=1)
 
+    def pooled_features(self, params: Dict, img: jax.Array) -> jax.Array:
+        """Resolution-independent (N, 1472) embedding: global-average-pooled
+        unit-normalised tap features. The fixed-dim feature role the
+        reference's pooled InceptionV3 plays for FID/KID/PR
+        (metrics/metric_utils.py) — use with calc_metric feature_fn."""
+        feats = self.features(params, img)
+        return jnp.concatenate([jnp.mean(f, axis=(2, 3)) for f in feats], axis=1)
+
     def load_torch_state_dict(self, state: Dict[str, np.ndarray]) -> Dict:
         """Map torchvision-style `features.{idx}.weight` keys to params."""
         conv_ids = []
