@@ -153,8 +153,9 @@ def _bilinear_brick_sample(feats, grid):
 def _trilinear_brick_sample(feats, grid):
     """feats (B, C, D, H, W); grid (B, M, 3) (x,y,z) in [-1,1] -> (B, M, C)."""
     B, C, D, H, W = feats.shape
-    fp = jnp.pad(feats, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
-    fcl = jnp.transpose(fp, (0, 2, 3, 4, 1))  # (B, D+2, H+2, W+2, C)
+    # transpose the UNPADDED volume (smaller + better-shaped), pad after
+    fcl = jnp.transpose(feats, (0, 2, 3, 4, 1))   # (B, D, H, W, C)
+    fcl = jnp.pad(fcl, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     parts = []
     for dz in (0, 1):
         for dy in (0, 1):
