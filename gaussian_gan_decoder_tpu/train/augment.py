@@ -118,9 +118,13 @@ def augment_pipe(key, images: jax.Array, p: jax.Array, cfg: AugmentConfig = Augm
         t = jnp.where(bern(cfg.xfrac)[:, None], t * 2, 0.0)
         G = G @ _affine(jnp.ones((n,)), jnp.ones((n,)), t[:, 0], t[:, 1])
 
-    # apply: sample source at G_inv @ target (G already composed as inverse)
+    # apply: sample source at G_inv @ target (G already composed as inverse);
+    # pixel-CENTER NDC coords so an identity transform is exactly identity
+    # under grid_sample's align_corners=False convention
     ys, xs = jnp.meshgrid(
-        jnp.linspace(-1, 1, h), jnp.linspace(-1, 1, w), indexing="ij"
+        (jnp.arange(h) + 0.5) / h * 2 - 1,
+        (jnp.arange(w) + 0.5) / w * 2 - 1,
+        indexing="ij",
     )
     grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (H, W, 3)
     src = jnp.einsum("nij,hwj->nhwi", G, grid)
