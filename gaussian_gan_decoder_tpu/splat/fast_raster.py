@@ -41,9 +41,10 @@ def _pack_attrs(proj, colors, opacities):
         opacities,
         colors[:, 0], colors[:, 1], colors[:, 2],
     ]
-    attrs = jnp.stack(cols, axis=1).astype(jnp.float32)
-    pad = jnp.zeros((n, ROW - attrs.shape[1]), jnp.float32)
-    return jnp.concatenate([attrs, pad], axis=1)
+    # NOTE: only the 9 live fields — the kernel's ROW=16 zero padding is
+    # appended AFTER the lexsort (bin_pairs_lexsort) so the sort never
+    # moves dead columns
+    return jnp.stack(cols, axis=1).astype(jnp.float32)
 
 
 def bin_pairs_lexsort(
@@ -94,12 +95,19 @@ def bin_pairs_lexsort(
     qd = jnp.concatenate([qd, qdepth[ids]])
     attrs_rep = jnp.concatenate([attrs_rep, attrs[ids]], axis=0)
 
-    # -- one lexicographic sort: (tile, depth-bits) + payload ------------------
-    operands = [tile_key, qd] + [attrs_rep[:, i] for i in range(ROW)]
+    # -- one lexicographic sort: (tile, depth-bits) + the 9 live payloads -----
+    n_fields = attrs_rep.shape[1]
+    operands = [tile_key, qd] + [attrs_rep[:, i] for i in range(n_fields)]
     sorted_ops = jax.lax.sort(operands, num_keys=2)
     sorted_tile = sorted_ops[0]
-    # field-major directly (the blend kernel's DMA layout) — no transpose
-    sorted_attrs_t = jnp.stack(sorted_ops[2:], axis=0)  # (ROW, Ptot)
+    # field-major directly (the blend kernel's DMA layout) — no transpose;
+    # dead ROW padding appended post-sort
+    ptot = sorted_tile.shape[0]
+    sorted_attrs_t = jnp.concatenate(
+        [jnp.stack(sorted_ops[2:], axis=0),
+         jnp.zeros((ROW - n_fields, ptot), jnp.float32)],
+        axis=0,
+    )  # (ROW, Ptot)
 
     tile_starts = jnp.searchsorted(
         sorted_tile, jnp.arange(T + 1, dtype=jnp.int32)
