@@ -96,6 +96,8 @@ class GaussianDecoder:
     use_xyz_embedding: bool = False
     use_gen_finetune: bool = True
     bf16_sampling: bool = False   # bf16 brick gathers (speed; ~2^-8 feat err)
+    pallas_heads: bool = False    # fused VMEM-resident head chain (inference)
+    heads_bf16: bool = False      # bf16 matmuls inside the fused heads
 
     @property
     def embedder(self) -> Optional[Embedder]:
@@ -152,6 +154,19 @@ class GaussianDecoder:
         heads = self._heads()
         result = EasyDict()
         cond = self.embedder(init_position) if self.use_xyz_embedding else init_position
+
+        if self.pallas_heads:
+            from .pallas_heads import decode_heads_pallas
+
+            out = decode_heads_pallas(
+                {name: params[name] for name, _ in _CHAINS[self.decoder_type]},
+                _CHAINS[self.decoder_type],
+                jnp.mean(feats, axis=0).astype(jnp.float32),
+                cond, init_position, self.scale_offset,
+                parallel=(self.decoder_type == "parallel"),
+                compute_dtype=jnp.bfloat16 if self.heads_bf16 else jnp.float32,
+            )
+            return EasyDict(out)
 
         if self.decoder_type == "parallel":
             for name, out_dim in _CHAINS["parallel"]:

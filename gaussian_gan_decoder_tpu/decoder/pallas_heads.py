@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: the 5 chained Gaussian-decoder MLP heads, fused.
+
+The XLA path (decoder/heads.py) materialises every hidden activation of
+every head in HBM — 20 layers x (500k, 128) f32 = ~5 GB of round-trip
+traffic per frame, measured at ~57 ms. This kernel keeps the whole chain
+in VMEM: one (BLOCK, 128) staging tile per grid step, all head weights
+resident (~1 MB), 20 MXU matmuls back-to-back, one (BLOCK, 16) result
+write. HBM traffic drops to read-input + write-output (~70 MB).
+
+Semantics match decoder/heads.py exactly (ref main/decoder_models/
+base_decoder.py:8-27 + sequential_decoder_reverse.py:38-87):
+
+  * head h input = [mean-plane-feats(32) ⊕ pos-cond ⊕ prior outputs] —
+    a CONTIGUOUS PREFIX of the staging layout, so padded first-layer
+    weights make every head the same (128->128) matmul;
+  * chain conditioning uses the TRANSFORMED outputs (scale activated,
+    xyz shifted) exactly like the reference forward;
+  * GELU is exact (erf), like torch.nn.GELU default.
+
+Staging column layout (128 lanes):
+  [0:32)   mean plane features
+  [32:32+P) position conditioning (P = 3 raw xyz or 63 embedded)
+  [..:..+14) chain outputs, in chain order
+  [120:123) raw init_position (read by the xyz transform)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+STAGE = 128      # staging width (lanes)
+OUT_W = 16       # padded output width
+INIT_COL = 120   # raw init_position stash
+
+
+def _erf(x):
+    """f32 erf — Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7).
+
+    Mosaic has no erf lowering; this matches jax.lax.erf well past the
+    bf16/f32-parity tolerances used in tests.
+    """
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x):
+    # torch.nn.GELU default: x * 0.5 * (1 + erf(x / sqrt(2)))
+    xf = x.astype(jnp.float32)
+    return (xf * 0.5 * (1.0 + _erf(xf * (2.0 ** -0.5)))).astype(x.dtype)
+
+
+def _heads_kernel(
+    stage_in,    # (BLK, 128) staging input
+    w1, b1, w2, b2, w3, b3, w4, b4,   # packed weights (5, ...)
+    out_ref,     # (BLK, 16)
+    x_ref,       # scratch (BLK, 128) staging copy
+    *,
+    chain: Tuple[Tuple[str, int, int, int], ...],  # (name, out_dim, stage_col, out_col)
+    scale_offset: float,
+    compute_dtype,
+):
+    x_ref[:] = stage_in[:]
+    init = stage_in[:, INIT_COL:INIT_COL + 3].astype(jnp.float32)
+
+    for h, (name, out_dim, stage_col, out_col) in enumerate(chain):
+        x = x_ref[:].astype(compute_dtype)
+        a = jnp.dot(x, w1[h], preferred_element_type=jnp.float32) + b1[h].astype(jnp.float32)
+        a = _gelu_exact(a).astype(compute_dtype)
+        a = jnp.dot(a, w2[h], preferred_element_type=jnp.float32) + b2[h].astype(jnp.float32)
+        a = _gelu_exact(a).astype(compute_dtype)
+        a = jnp.dot(a, w3[h], preferred_element_type=jnp.float32) + b3[h].astype(jnp.float32)
+        a = _gelu_exact(a).astype(compute_dtype)
+        o = jnp.dot(a, w4[h], preferred_element_type=jnp.float32) + b4[h].astype(jnp.float32)
+        # per-attribute transform (both the chain cond and the result use it)
+        if name == "scale":
+            o = -jax.nn.softplus(o + 5.0) + scale_offset
+        elif name == "xyz":
+            o = o * 0.01
+            col = jax.lax.broadcasted_iota(jnp.int32, o.shape, 1)
+            init_w = jnp.concatenate(
+                [init, jnp.zeros((init.shape[0], o.shape[1] - 3), jnp.float32)],
+                axis=1,
+            )
+            o = o + jnp.where(col < 3, init_w, 0.0)
+        t = o.astype(stage_in.dtype)
+        if stage_col + out_dim <= STAGE:
+            x_ref[:, stage_col:stage_col + out_dim] = t[:, :out_dim]
+        out_ref[:, out_col:out_col + out_dim] = o[:, :out_dim].astype(out_ref.dtype)
+
+
+def decode_heads_pallas(
+    head_params: Dict[str, Dict],      # name -> {'fc0'..'fc3': {'weight','bias'}}
+    chain_spec: Sequence[Tuple[str, int]],  # ordered (name, out_dim)
+    feats_mean: jax.Array,             # (M, 32)
+    cond0: jax.Array,                  # (M, P) position conditioning
+    init_position: jax.Array,          # (M, 3)
+    scale_offset: float,
+    parallel: bool = False,
+    compute_dtype=jnp.float32,
+    block: int = 1024,
+    interpret: bool = False,
+) -> Dict[str, jax.Array]:
+    """Fused forward of all 5 heads -> {name: (M, out_dim) f32}.
+
+    `parallel=True` reproduces the ParallelDecoder (heads see only
+    feats ⊕ cond0; chain outputs never enter the staging prefix).
+    """
+    M, F = feats_mean.shape
+    P = cond0.shape[1]
+    assert F == 32 and 32 + P + sum(d for _, d in chain_spec) <= INIT_COL
+
+    # -- packed weights ------------------------------------------------------
+    n_heads = len(chain_spec)
+    w1 = jnp.zeros((n_heads, STAGE, STAGE), jnp.float32)
+    b1 = jnp.zeros((n_heads, 1, STAGE), jnp.float32)
+    w2 = jnp.zeros((n_heads, STAGE, STAGE), jnp.float32)
+    b2 = jnp.zeros((n_heads, 1, STAGE), jnp.float32)
+    w3 = jnp.zeros((n_heads, STAGE, STAGE), jnp.float32)
+    b3 = jnp.zeros((n_heads, 1, STAGE), jnp.float32)
+    w4 = jnp.zeros((n_heads, STAGE, OUT_W), jnp.float32)
+    b4 = jnp.zeros((n_heads, 1, OUT_W), jnp.float32)
+
+    chain = []
+    stage_col = 32 + P
+    out_col = 0
+    for h, (name, out_dim) in enumerate(chain_spec):
+        hp = head_params[name]
+        tw1 = hp["fc0"]["weight"].T  # (n_in, 128)
+        n_in = tw1.shape[0]
+        w1 = w1.at[h, :n_in, :].set(tw1)
+        b1 = b1.at[h, 0].set(hp["fc0"]["bias"])
+        w2 = w2.at[h].set(hp["fc1"]["weight"].T)
+        b2 = b2.at[h, 0].set(hp["fc1"]["bias"])
+        w3 = w3.at[h].set(hp["fc2"]["weight"].T)
+        b3 = b3.at[h, 0].set(hp["fc2"]["bias"])
+        w4 = w4.at[h, :, :out_dim].set(hp["fc3"]["weight"].T)
+        b4 = b4.at[h, 0, :out_dim].set(hp["fc3"]["bias"])
+        # parallel decoder: chain outputs stay OUT of the staging prefix
+        chain.append((name, out_dim, STAGE if parallel else stage_col, out_col))
+        stage_col += out_dim
+        out_col += out_dim
+
+    w1, w2, w3, w4 = (w.astype(compute_dtype) for w in (w1, w2, w3, w4))
+
+    # -- staging -------------------------------------------------------------
+    pad_mid = INIT_COL - 32 - P - sum(d for _, d in chain_spec)
+    staging = jnp.concatenate(
+        [
+            feats_mean.astype(jnp.float32),
+            cond0.astype(jnp.float32),
+            jnp.zeros((M, pad_mid + sum(d for _, d in chain_spec)), jnp.float32),
+            init_position.astype(jnp.float32),
+            jnp.zeros((M, STAGE - INIT_COL - 3), jnp.float32),
+        ],
+        axis=1,
+    ).astype(compute_dtype)
+
+    Mpad = ((M + block - 1) // block) * block
+    if Mpad != M:
+        staging = jnp.pad(staging, ((0, Mpad - M), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _heads_kernel,
+            chain=tuple(chain),
+            scale_offset=scale_offset,
+            compute_dtype=compute_dtype,
+        ),
+        grid=(Mpad // block,),
+        in_specs=[
+            pl.BlockSpec((block, STAGE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec((block, OUT_W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mpad, OUT_W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block, STAGE), compute_dtype)],
+        interpret=interpret,
+    )(staging, w1, b1, w2, b2, w3, b3, w4, b4)
+
+    result = {}
+    off = 0
+    for name, out_dim in chain_spec:
+        result[name] = out[:M, off:off + out_dim]
+        off += out_dim
+    return result

@@ -29,16 +29,19 @@ def flagship_generator(variant: str = "panohead", img_resolution: int = 512) -> 
 
 def flagship_decoder(
     gen: Optional[TriPlaneGenerator] = None, hidden_dim: int = 128,
-    bf16_sampling: bool = True,
+    bf16_sampling: bool = True, pallas_heads: bool = True,
 ) -> GaussianDecoder:
     """bf16_sampling halves the tri-grid brick bytes (~10 ms/frame) at
-    ~2^-8 relative feature error — on for the deployment path, off for
-    parity testing."""
+    ~2^-8 relative feature error; pallas_heads runs the 5-head chain in
+    one VMEM-resident kernel (57 ms -> a few ms). Both off = the pure
+    XLA parity path."""
     return GaussianDecoder(
         generator=gen or flagship_generator(),
         decoder_type="sequential_reversed",
         hidden_dim=hidden_dim,
         bf16_sampling=bf16_sampling,
+        pallas_heads=pallas_heads,
+        heads_bf16=pallas_heads,
     )
 
 

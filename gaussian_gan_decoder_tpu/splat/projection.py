@@ -87,10 +87,10 @@ def project_gaussians(
     pix_xy = jnp.stack([px, py], axis=1)
 
     # --- EWA 2D covariance --------------------------------------------------
-    if cov3d_precomp is None:
-        cov3d = build_cov3d(scales, rotations, scale_modifier)
-    else:
-        cov3d = cov3d_precomp
+    # All channel-wise math over N: XLA lowers (N,2,3)@(N,3,3) batched tiny
+    # matmuls catastrophically on TPU (measured 21 ms for N=500k); the
+    # explicit per-entry formulation below is a single ~120-flop elementwise
+    # fusion (<1 ms).
     focal_x = cam.image_width / (2.0 * cam.tanfovx)
     focal_y = cam.image_height / (2.0 * cam.tanfovy)
 
@@ -102,21 +102,68 @@ def project_gaussians(
     ty = jnp.clip(view[:, 1] / tz_safe, -limy, limy) * tz_safe
 
     # J rows: d(pix)/d(view); V = view rotation (col-vector convention =
-    # transpose of the row-vector world_view 3x3 block)
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / tz_safe, zeros, -(focal_x * tx) / (tz_safe ** 2)], axis=-1),
-            jnp.stack([zeros, focal_y / tz_safe, -(focal_y * ty) / (tz_safe ** 2)], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    V = W[:3, :3].T  # (3, 3) col-vector view rotation
-    JW = J @ V[None]                     # (N, 2, 3)
-    cov2d = JW @ cov3d @ jnp.swapaxes(JW, -1, -2)  # (N, 2, 2)
-    cov_a = cov2d[:, 0, 0] + 0.3
-    cov_b = cov2d[:, 0, 1]
-    cov_c = cov2d[:, 1, 1] + 0.3
+    # transpose of the row-vector world_view 3x3 block).
+    # Row r of JW (r in {0,1}): jw_r = J[r, :] @ V with J sparse:
+    #   J[0] = (fx/tz, 0, -fx*tx/tz^2);  J[1] = (0, fy/tz, -fy*ty/tz^2)
+    V = W[:3, :3].T  # (3, 3) col-vector view rotation (static)
+    inv_z = 1.0 / tz_safe
+    j00 = focal_x * inv_z
+    j02 = -(focal_x * tx) * inv_z * inv_z
+    j11 = focal_y * inv_z
+    j12 = -(focal_y * ty) * inv_z * inv_z
+    # jw0_k = j00*V[0,k] + j02*V[2,k];  jw1_k = j11*V[1,k] + j12*V[2,k]
+    u0 = j00 * V[0, 0] + j02 * V[2, 0]
+    u1 = j00 * V[0, 1] + j02 * V[2, 1]
+    u2 = j00 * V[0, 2] + j02 * V[2, 2]
+    v0 = j11 * V[1, 0] + j12 * V[2, 0]
+    v1 = j11 * V[1, 1] + j12 * V[2, 1]
+    v2 = j11 * V[1, 2] + j12 * V[2, 2]
+
+    # Sigma entries (6 unique) from M = R diag(S): sigma_ab = sum_j M_aj M_bj
+    if cov3d_precomp is None:
+        q = rotations
+        norm = jnp.sqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True))
+        q = q / (norm + 1e-12)
+        r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+        r00 = 1 - 2 * (y * y + z * z)
+        r01 = 2 * (x * y - r * z)
+        r02 = 2 * (x * z + r * y)
+        r10 = 2 * (x * y + r * z)
+        r11 = 1 - 2 * (x * x + z * z)
+        r12 = 2 * (y * z - r * x)
+        r20 = 2 * (x * z - r * y)
+        r21 = 2 * (y * z + r * x)
+        r22 = 1 - 2 * (x * x + y * y)
+        s0 = scales[:, 0] * scale_modifier
+        s1 = scales[:, 1] * scale_modifier
+        s2 = scales[:, 2] * scale_modifier
+        m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+        m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+        m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
+        s_00 = m00 * m00 + m01 * m01 + m02 * m02
+        s_01 = m00 * m10 + m01 * m11 + m02 * m12
+        s_02 = m00 * m20 + m01 * m21 + m02 * m22
+        s_11 = m10 * m10 + m11 * m11 + m12 * m12
+        s_12 = m10 * m20 + m11 * m21 + m12 * m22
+        s_22 = m20 * m20 + m21 * m21 + m22 * m22
+    else:
+        s_00 = cov3d_precomp[:, 0, 0]
+        s_01 = cov3d_precomp[:, 0, 1]
+        s_02 = cov3d_precomp[:, 0, 2]
+        s_11 = cov3d_precomp[:, 1, 1]
+        s_12 = cov3d_precomp[:, 1, 2]
+        s_22 = cov3d_precomp[:, 2, 2]
+
+    # cov2d = JW Sigma JW^T: a = u.Sigma.u, b = u.Sigma.v, c = v.Sigma.v
+    su0 = s_00 * u0 + s_01 * u1 + s_02 * u2
+    su1 = s_01 * u0 + s_11 * u1 + s_12 * u2
+    su2 = s_02 * u0 + s_12 * u1 + s_22 * u2
+    sv0 = s_00 * v0 + s_01 * v1 + s_02 * v2
+    sv1 = s_01 * v0 + s_11 * v1 + s_12 * v2
+    sv2 = s_02 * v0 + s_12 * v1 + s_22 * v2
+    cov_a = u0 * su0 + u1 * su1 + u2 * su2 + 0.3
+    cov_b = v0 * su0 + v1 * su1 + v2 * su2
+    cov_c = v0 * sv0 + v1 * sv1 + v2 * sv2 + 0.3
 
     det = cov_a * cov_c - cov_b * cov_b
     det_ok = det > 0.0
