@@ -98,6 +98,7 @@ class GaussianDecoder:
     bf16_sampling: bool = False   # bf16 brick gathers (speed; ~2^-8 feat err)
     pallas_heads: bool = False    # fused VMEM-resident head chain (inference)
     heads_bf16: bool = False      # bf16 matmuls inside the fused heads
+    pallas_sampling: bool = False  # Pallas streaming brick-table build
 
     @property
     def embedder(self) -> Optional[Embedder]:
@@ -149,6 +150,7 @@ class GaussianDecoder:
             g.renderer.plane_axes, planes, init_position[None],
             box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
             brick_dtype=jnp.bfloat16 if self.bf16_sampling else None,
+            pallas_build=self.pallas_sampling and g.triplane_depth > 1,
         )[0]  # (n_planes, M, 32)
 
         heads = self._heads()

@@ -107,7 +107,7 @@ def decode_heads_pallas(
     parallel: bool = False,
     compute_dtype=jnp.float32,
     block: int = 1024,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> Dict[str, jax.Array]:
     """Fused forward of all 5 heads -> {name: (M, out_dim) f32}.
 
@@ -117,6 +117,8 @@ def decode_heads_pallas(
     M, F = feats_mean.shape
     P = cond0.shape[1]
     assert F == 32 and 32 + P + sum(d for _, d in chain_spec) <= INIT_COL
+    if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret
+        interpret = jax.default_backend() == "cpu"
 
     # -- packed weights ------------------------------------------------------
     n_heads = len(chain_spec)

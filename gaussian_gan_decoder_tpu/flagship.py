@@ -42,6 +42,7 @@ def flagship_decoder(
         bf16_sampling=bf16_sampling,
         pallas_heads=pallas_heads,
         heads_bf16=pallas_heads,
+        pallas_sampling=pallas_heads,
     )
 
 
@@ -50,7 +51,7 @@ def flagship_raster_config() -> RasterizeConfig:
     # areas are almost always 1-2 tiles: 2 structural copies + overflow lane
     return RasterizeConfig(
         tile_size=16, max_pairs=2 ** 21, tile_capacity=1024, chunk=64,
-        static_copies=2, overflow_budget=2 ** 18,
+        static_copies=2, overflow_budget=2 ** 16,
     )
 
 

@@ -67,6 +67,8 @@ def sample_from_planes(
     brick_dtype=None,            # e.g. jnp.bfloat16: halve the expanded-
     # volume bytes (build/transpose/gather); lerp still accumulates in the
     # input dtype. ~2^-8 relative feature error — OFF by default (parity).
+    pallas_build: bool = False,  # Pallas streaming brick-table build
+    # (tri-grid only; ~4x faster than the XLA 8-slice concat on TPU)
 ) -> jax.Array:
     """Probe the tri-plane/tri-grid at world coords (ref renderer.py:47-58).
 
@@ -97,7 +99,7 @@ def sample_from_planes(
         out = _bilinear_brick_sample(feats, proj[..., :2])          # (NP, M, C)
     else:
         feats = plane_features.reshape(N * n_planes, C, D, H, W)
-        out = _trilinear_brick_sample(feats, proj)                  # (NP, M, C)
+        out = _trilinear_brick_sample(feats, proj, pallas_build=pallas_build)
     return out.reshape(N, n_planes, M, C).astype(out_dtype)
 
 
@@ -150,31 +152,37 @@ def _bilinear_brick_sample(feats, grid):
     return out
 
 
-def _trilinear_brick_sample(feats, grid):
+def _trilinear_brick_sample(feats, grid, pallas_build: bool = False):
     """feats (B, C, D, H, W); grid (B, M, 3) (x,y,z) in [-1,1] -> (B, M, C)."""
     B, C, D, H, W = feats.shape
-    # transpose the UNPADDED volume (smaller + better-shaped), pad after
-    fcl = jnp.transpose(feats, (0, 2, 3, 4, 1))   # (B, D, H, W, C)
-    fcl = jnp.pad(fcl, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    parts = []
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                parts.append(
-                    fcl[
-                        :,
-                        dz: dz + D + 1,
-                        dy: dy + H + 1,
-                        dx: dx + W + 1,
-                    ]
-                )
-    e = jnp.concatenate(parts, axis=-1)  # (B, D+1, H+1, W+1, 8C)
-    e = e.reshape(B, (D + 1) * (H + 1) * (W + 1), 8 * C)
+    if pallas_build:
+        from .pallas_expand import build_brick_table
+
+        e, NY = build_brick_table(feats)
+    else:
+        # transpose the UNPADDED volume (smaller + better-shaped), pad after
+        fcl = jnp.transpose(feats, (0, 2, 3, 4, 1))   # (B, D, H, W, C)
+        fcl = jnp.pad(fcl, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+        parts = []
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    parts.append(
+                        fcl[
+                            :,
+                            dz: dz + D + 1,
+                            dy: dy + H + 1,
+                            dx: dx + W + 1,
+                        ]
+                    )
+        e = jnp.concatenate(parts, axis=-1)  # (B, D+1, H+1, W+1, 8C)
+        e = e.reshape(B, (D + 1) * (H + 1) * (W + 1), 8 * C)
+        NY = H + 1
 
     ix, wx, vx0, vx1 = _corner_weights_1d(grid[..., 0], W)
     iy, wy, vy0, vy1 = _corner_weights_1d(grid[..., 1], H)
     iz, wz, vz0, vz1 = _corner_weights_1d(grid[..., 2], D)
-    idx = (iz * (H + 1) + iy) * (W + 1) + ix
+    idx = (iz * NY + iy) * (W + 1) + ix
     rows = jax.vmap(lambda ee, ii: jnp.take(ee, ii, axis=0))(e, idx)  # (B, M, 8C)
     cs = jnp.split(rows, 8, axis=-1)  # order (dz, dy, dx)
     wx = wx[..., None]

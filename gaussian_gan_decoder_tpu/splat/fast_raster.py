@@ -77,6 +77,8 @@ def bin_pairs_lexsort(
     attrs_rep = jnp.tile(attrs, (static_copies, 1))          # (C*N, ROW)
 
     # -- overflow lane for rect area > static_copies --------------------------
+    # ONE packed gather for all per-gaussian fields (separate scalar gathers
+    # each pay the full ~13ns/row cost; rows <=128 elems cost the same)
     counts_over = jnp.where(vis, jnp.maximum(area - static_copies, 0), 0)
     over_total = jnp.sum(counts_over)
     n_dropped = jnp.maximum(0, over_total - overflow_budget)
@@ -85,15 +87,30 @@ def bin_pairs_lexsort(
         jnp.arange(N, dtype=jnp.int32), counts_over,
         total_repeat_length=overflow_budget,
     )
+    # small ints and offsets are exact in f32 (< 2^24); depth rides as f32
+    pack = jnp.concatenate(
+        [
+            x0[:, None].astype(jnp.float32),
+            y0[:, None].astype(jnp.float32),
+            jnp.maximum(rw, 1)[:, None].astype(jnp.float32),
+            offs[:, None].astype(jnp.float32),
+            jax.lax.bitcast_convert_type(qdepth, jnp.float32)[:, None],
+            attrs,
+        ],
+        axis=1,
+    )  # (N, 14)
+    rows = jnp.take(pack, ids, axis=0)  # (overflow_budget, 14)
     pos = jnp.arange(overflow_budget, dtype=jnp.int32)
-    lo = pos - offs[ids].astype(jnp.int32)
+    lo = pos - rows[:, 3].astype(jnp.int32)
     cell = static_copies + lo
-    rw_o = jnp.maximum(rw[ids], 1)
-    tile_o = (y0[ids] + cell // rw_o) * grid_x + (x0[ids] + cell % rw_o)
+    rw_o = rows[:, 2].astype(jnp.int32)
+    tile_o = (rows[:, 1].astype(jnp.int32) + cell // rw_o) * grid_x + (
+        rows[:, 0].astype(jnp.int32) + cell % rw_o
+    )
     valid_o = pos < over_total
     tile_key = jnp.concatenate([tile_key, jnp.where(valid_o, tile_o, T)])
-    qd = jnp.concatenate([qd, qdepth[ids]])
-    attrs_rep = jnp.concatenate([attrs_rep, attrs[ids]], axis=0)
+    qd = jnp.concatenate([qd, jax.lax.bitcast_convert_type(rows[:, 4], jnp.int32)])
+    attrs_rep = jnp.concatenate([attrs_rep, rows[:, 5:14]], axis=0)
 
     # -- one lexicographic sort: (tile, depth-bits) + the 9 live payloads -----
     n_fields = attrs_rep.shape[1]
