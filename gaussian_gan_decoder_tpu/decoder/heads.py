@@ -208,6 +208,39 @@ class GaussianDecoder:
         planes, _ = self.synthesize_planes(params, z, gan_camera_params, truncation_psi)
         return self.decode_from_planes(params, planes, init_position)
 
+    # -- packed fast path (render hot loop) -----------------------------------
+
+    def decode_packed(self, params: Params, planes, init_position):
+        """-> (out16 (Mpad, 16) raw packed head outputs, layout name->(col, dim)).
+
+        Same math as decode_from_planes via the Pallas head chain, but the
+        (Mpad, 16) output is NOT sliced into (M, k) attribute arrays — the
+        fast rasterizer consumes it channel-major (splat/fast_raster.py
+        render_packed). Rows >= M are padding."""
+        from .pallas_heads import decode_heads_pallas
+
+        g = self.generator
+        feats = sample_from_planes(
+            g.renderer.plane_axes, planes, init_position[None],
+            box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
+            brick_dtype=jnp.bfloat16 if self.bf16_sampling else None,
+            pallas_build=self.pallas_sampling and g.triplane_depth > 1,
+        )[0]
+        cond = self.embedder(init_position) if self.use_xyz_embedding else init_position
+        return decode_heads_pallas(
+            {name: params[name] for name, _ in _CHAINS[self.decoder_type]},
+            _CHAINS[self.decoder_type],
+            jnp.mean(feats, axis=0).astype(jnp.float32),
+            cond, init_position, self.scale_offset,
+            parallel=(self.decoder_type == "parallel"),
+            compute_dtype=jnp.bfloat16 if self.heads_bf16 else jnp.float32,
+            return_packed=True,
+        )
+
+    def apply_packed(self, params: Params, z, gan_camera_params, init_position, truncation_psi=1.0):
+        planes, _ = self.synthesize_planes(params, z, gan_camera_params, truncation_psi)
+        return self.decode_packed(params, planes, init_position)
+
     def trainable_filter(self, path: Tuple, _leaf) -> bool:
         """optax mask: heads always train; 'G' only with use_gen_finetune
         (ref get_params_custom, sequential_decoder_reverse.py:89-99)."""

@@ -108,6 +108,7 @@ def decode_heads_pallas(
     compute_dtype=jnp.float32,
     block: int = 1024,
     interpret: bool | None = None,
+    return_packed: bool = False,
 ) -> Dict[str, jax.Array]:
     """Fused forward of all 5 heads -> {name: (M, out_dim) f32}.
 
@@ -186,6 +187,16 @@ def decode_heads_pallas(
         scratch_shapes=[pltpu.VMEM((block, STAGE), compute_dtype)],
         interpret=interpret,
     )(staging, w1, b1, w2, b2, w3, b3, w4, b4)
+
+    if return_packed:
+        # (Mpad, 16) packed output + column layout — the render fast path
+        # transposes this ONCE and never touches (N, small-k) arrays
+        layout = {}
+        off = 0
+        for name, out_dim in chain_spec:
+            layout[name] = (off, out_dim)
+            off += out_dim
+        return out, layout
 
     result = {}
     off = 0

@@ -82,11 +82,28 @@ def decode_and_render(
 ):
     """The real-time editing hot path: latent -> gaussians -> 512^2 frame
     (ref load_decoder.render_with_decoder, main/load_decoder.py:12-26)."""
-    decoded = decoder.apply(params, z, camera_params, init_position, truncation_psi)
     cam = make_camera(image_size, jnp.asarray(fov), cam2world)
+    cfg = raster_cfg or flagship_raster_config()
+    if backend == "pallas" and decoder.pallas_heads:
+        # packed channel-major hot path: no (N, small-k) arrays anywhere
+        from .splat.fast_raster import render_packed
+        from .utils import EasyDict
+
+        out16, layout = decoder.apply_packed(
+            params, z, camera_params, init_position, truncation_psi)
+        out = render_packed(
+            cam, out16, layout, init_position.shape[0],
+            bg=jnp.asarray(bg, jnp.float32), config=cfg,
+        )
+        M = init_position.shape[0]
+        decoded = EasyDict({
+            name: out16[:M, c:c + d] for name, (c, d) in layout.items()
+        })
+        return out["render"][:3], decoded
+    decoded = decoder.apply(params, z, camera_params, init_position, truncation_psi)
     out = render_simple(
         cam, decoded, bg=jnp.asarray(bg, jnp.float32),
-        config=raster_cfg or flagship_raster_config(),
+        config=cfg,
         backend=backend,
     )
     return out["render"][:3], decoded

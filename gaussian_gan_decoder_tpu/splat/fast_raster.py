@@ -6,14 +6,19 @@ but pays for index gathers and HBM round-trips of (tiles x chunk x pixels)
 intermediates. This module is the speed-of-light forward for inference /
 real-time editing (BASELINE config #5):
 
+  * CHANNEL-MAJOR throughout: every per-gaussian quantity is a 1-D (N,)
+    vector. (N, small-k) arrays are poison on TPU — the tiled layout pads
+    the minor dim to 128 lanes, so a fusion iterating over (N, 3) wastes
+    125/128 of every VPU pass (measured 20-30 ms per stage at N=500k);
   * duplication by STATIC COPIES: gaussian attributes are replicated
     `static_copies` times structurally (concat — streams, no gather), one
     copy per potential rect cell; rare large gaussians (rect area >
-    static_copies) spill into a dynamic `jnp.repeat` overflow lane;
-  * ONE lexicographic `lax.sort` by (tile, depth-bits) carries the packed
-    attribute payload into per-tile depth order — TPU variadic sorts move
-    payloads at streaming bandwidth (~3.5ms/M rows) where index gathers
-    cost ~23ns/row;
+    static_copies) spill into a dynamic overflow lane that pays ONE
+    packed gather;
+  * ONE lexicographic `lax.sort` by (tile, depth-bits) carries the 9 live
+    attribute channels into per-tile depth order — TPU variadic sorts
+    move payloads at streaming bandwidth where index gathers cost
+    ~13ns/row;
   * depth ordering uses the IEEE-754 trick: positive f32 depths compare
     identically as int32 bit patterns (the CUDA rasterizer's 64-bit
     tile|depth radix key, ref N1);
@@ -27,58 +32,57 @@ import jax
 import jax.numpy as jnp
 
 from ..gaussians.cameras import Camera
-from ..gaussians.sh import sh_to_color
+from ..gaussians.sh import SH_C0, sh_to_color
 from .pallas_blend import CHUNK, ROW, pallas_blend
-from .projection import project_gaussians
-from .rasterize import RasterizeConfig, _tile_rects
+from .projection import project_channels
+from .rasterize import RasterizeConfig
 
 
-def _pack_attrs(proj, colors, opacities):
-    n = colors.shape[0]
-    cols = [
-        proj.pix_xy[:, 0], proj.pix_xy[:, 1],
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-        opacities,
-        colors[:, 0], colors[:, 1], colors[:, 2],
-    ]
-    # NOTE: only the 9 live fields — the kernel's ROW=16 zero padding is
-    # appended AFTER the lexsort (bin_pairs_lexsort) so the sort never
-    # moves dead columns
-    return jnp.stack(cols, axis=1).astype(jnp.float32)
+def _tile_rects_ch(px, py, radius_f, grid_x, grid_y, tile_size):
+    """CUDA getRect on channel vectors: clamped tile spans."""
+    x0 = jnp.clip(((px - radius_f) / tile_size).astype(jnp.int32), 0, grid_x)
+    y0 = jnp.clip(((py - radius_f) / tile_size).astype(jnp.int32), 0, grid_y)
+    x1 = jnp.clip(((px + radius_f + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_x)
+    y1 = jnp.clip(((py + radius_f + tile_size - 1) / tile_size).astype(jnp.int32), 0, grid_y)
+    return x0, y0, jnp.maximum(x1 - x0, 0), jnp.maximum(y1 - y0, 0)
 
 
-def bin_pairs_lexsort(
-    proj, attrs, grid_x: int, grid_y: int, tile_size: int,
+def bin_pairs_lexsort_ch(
+    ch: Dict[str, jax.Array],          # project_channels output
+    fields,                            # 9 (N,) payload channels (blend ROW order)
+    grid_x: int, grid_y: int, tile_size: int,
     static_copies: int = 4, overflow_budget: int = 2 ** 17,
 ):
-    """-> (tile_starts (T+2,), sorted_attrs (Ptot, ROW), n_dropped)."""
-    N = attrs.shape[0]
+    """-> (tile_starts (T+2,), sorted_attrs (ROW, Ptot), n_dropped)."""
+    fields = [f.astype(jnp.float32) for f in fields]
+    N = fields[0].shape[0]
     T = grid_x * grid_y
-    x0, y0, rw, rh = _tile_rects(
-        proj.pix_xy, proj.radius.astype(jnp.float32), grid_x, grid_y, tile_size
+    x0, y0, rw, rh = _tile_rects_ch(
+        ch["px"].astype(jnp.float32), ch["py"].astype(jnp.float32),
+        ch["radius_f"].astype(jnp.float32), grid_x, grid_y, tile_size
     )
     area = rw * rh
-    vis = proj.visible & (area > 0)
+    vis = ch["visible"] & (area > 0)
     # positive f32 bit pattern sorts like the float (depth > 0.2 after cull)
-    qdepth = jax.lax.bitcast_convert_type(
-        jnp.maximum(proj.depth, 1e-6).astype(jnp.float32), jnp.int32
-    )
+    depth_pos = jnp.maximum(ch["depth"], 1e-6).astype(jnp.float32)
+    qdepth = jax.lax.bitcast_convert_type(depth_pos, jnp.int32)
 
     # -- static copies: copy k covers rect cell (k // rw, k % rw) ------------
+    rw1 = jnp.maximum(rw, 1)
     tiles = []
     for k in range(static_copies):
-        cy = k // jnp.maximum(rw, 1)
-        cx = k % jnp.maximum(rw, 1)
+        cy = k // rw1
+        cx = k % rw1
         tile_k = (y0 + cy) * grid_x + (x0 + cx)
         valid_k = vis & (k < area)
         tiles.append(jnp.where(valid_k, tile_k, T))
     tile_key = jnp.concatenate(tiles)                        # (C*N,)
     qd = jnp.tile(qdepth, (static_copies,))
-    attrs_rep = jnp.tile(attrs, (static_copies, 1))          # (C*N, ROW)
+    fields_rep = [jnp.tile(f, (static_copies,)) for f in fields]
 
     # -- overflow lane for rect area > static_copies --------------------------
-    # ONE packed gather for all per-gaussian fields (separate scalar gathers
-    # each pay the full ~13ns/row cost; rows <=128 elems cost the same)
+    # ONE packed gather for all per-gaussian quantities (separate scalar
+    # gathers each pay the full ~13ns/row cost)
     counts_over = jnp.where(vis, jnp.maximum(area - static_copies, 0), 0)
     over_total = jnp.sum(counts_over)
     n_dropped = jnp.maximum(0, over_total - overflow_budget)
@@ -88,15 +92,11 @@ def bin_pairs_lexsort(
         total_repeat_length=overflow_budget,
     )
     # small ints and offsets are exact in f32 (< 2^24); depth rides as f32
-    pack = jnp.concatenate(
+    pack = jnp.stack(
         [
-            x0[:, None].astype(jnp.float32),
-            y0[:, None].astype(jnp.float32),
-            jnp.maximum(rw, 1)[:, None].astype(jnp.float32),
-            offs[:, None].astype(jnp.float32),
-            jax.lax.bitcast_convert_type(qdepth, jnp.float32)[:, None],
-            attrs,
-        ],
+            x0.astype(jnp.float32), y0.astype(jnp.float32),
+            rw1.astype(jnp.float32), offs.astype(jnp.float32), depth_pos,
+        ] + list(fields),
         axis=1,
     )  # (N, 14)
     rows = jnp.take(pack, ids, axis=0)  # (overflow_budget, 14)
@@ -109,20 +109,22 @@ def bin_pairs_lexsort(
     )
     valid_o = pos < over_total
     tile_key = jnp.concatenate([tile_key, jnp.where(valid_o, tile_o, T)])
-    qd = jnp.concatenate([qd, jax.lax.bitcast_convert_type(rows[:, 4], jnp.int32)])
-    attrs_rep = jnp.concatenate([attrs_rep, rows[:, 5:14]], axis=0)
+    qd = jnp.concatenate(
+        [qd, jax.lax.bitcast_convert_type(rows[:, 4].astype(jnp.float32), jnp.int32)]
+    )
+    fields_rep = [
+        jnp.concatenate([fr, rows[:, 5 + i]]) for i, fr in enumerate(fields_rep)
+    ]
 
     # -- one lexicographic sort: (tile, depth-bits) + the 9 live payloads -----
-    n_fields = attrs_rep.shape[1]
-    operands = [tile_key, qd] + [attrs_rep[:, i] for i in range(n_fields)]
-    sorted_ops = jax.lax.sort(operands, num_keys=2)
+    sorted_ops = jax.lax.sort([tile_key, qd] + fields_rep, num_keys=2)
     sorted_tile = sorted_ops[0]
     # field-major directly (the blend kernel's DMA layout) — no transpose;
     # dead ROW padding appended post-sort
     ptot = sorted_tile.shape[0]
     sorted_attrs_t = jnp.concatenate(
         [jnp.stack(sorted_ops[2:], axis=0),
-         jnp.zeros((ROW - n_fields, ptot), jnp.float32)],
+         jnp.zeros((ROW - len(fields), ptot), jnp.float32)],
         axis=0,
     )  # (ROW, Ptot)
 
@@ -130,6 +132,99 @@ def bin_pairs_lexsort(
         sorted_tile, jnp.arange(T + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     return tile_starts, sorted_attrs_t, n_dropped
+
+
+def _blend_and_assemble(tile_starts, attrs_t, grid_x, grid_y, ts, bg, config,
+                        interpret=None):
+    slack = config.tile_capacity + CHUNK
+    attrs_t = jnp.concatenate(
+        [attrs_t, jnp.zeros((ROW, slack), jnp.float32)], axis=1
+    )
+    accum, trans = pallas_blend(
+        tile_starts, attrs_t, grid_x, grid_y, ts,
+        max_k=config.tile_capacity, interpret=interpret,
+    )
+    H, W = grid_y * ts, grid_x * ts
+    img = accum + trans[:, :, None] * bg[None, None, :]
+    img = img.reshape(grid_y, grid_x, ts, ts, 3)
+    img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(H, W, 3)
+    alpha_img = (1.0 - trans).reshape(grid_y, grid_x, ts, ts)
+    alpha_img = jnp.transpose(alpha_img, (0, 2, 1, 3)).reshape(H, W)
+    return img, alpha_img
+
+
+def render_packed(
+    cam: Camera,
+    out16: jax.Array,         # (Mpad, 16) packed raw head outputs
+    layout: Dict[str, tuple],  # name -> (col, dim); scale pre-activated
+    n_points: int,
+    bg: jax.Array,
+    config: RasterizeConfig = RasterizeConfig(),
+    interpret: bool | None = None,
+) -> Dict[str, jax.Array]:
+    """Flagship hot path: decoder's packed output -> frame.
+
+    ONE transpose turns the (Mpad, 16) head output into 16 clean channel
+    vectors; everything downstream stays 1-D. Rows >= n_points are padding
+    from the heads kernel and are culled via the visibility mask.
+    """
+    H, W = cam.image_height, cam.image_width
+    ts = config.tile_size
+    grid_x, grid_y = W // ts, H // ts
+    o = out16.T  # (16, Mpad) — the single relayout
+    Mpad = o.shape[1]
+
+    c0, _ = layout["color"]
+    op0, _ = layout["opacity"]
+    r0, _ = layout["rotation"]
+    s0, _ = layout["scale"]
+    x0, _ = layout["xyz"]
+
+    ch = project_channels(
+        cam, o[x0], o[x0 + 1], o[x0 + 2],
+        (o[r0], o[r0 + 1], o[r0 + 2], o[r0 + 3]),
+        (jnp.exp(o[s0]), jnp.exp(o[s0 + 1]), jnp.exp(o[s0 + 2])),
+    )
+    valid = jnp.arange(Mpad, dtype=jnp.int32) < n_points
+    ch["visible"] = ch["visible"] & valid
+
+    opac = jax.nn.sigmoid(o[op0])
+    # degree-0 SH -> rgb (CUDA computeColorFromSH: C0*c + 0.5, clamp >= 0)
+    cols = [jnp.maximum(SH_C0 * o[c0 + i] + 0.5, 0.0) for i in range(3)]
+
+    fields = [ch["px"], ch["py"], ch["conic_a"], ch["conic_b"], ch["conic_c"],
+              opac] + cols
+    tile_starts, attrs_t, n_dropped = bin_pairs_lexsort_ch(
+        ch, fields, grid_x, grid_y, ts,
+        config.static_copies, config.overflow_budget,
+    )
+    img, alpha_img = _blend_and_assemble(
+        tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret
+    )
+    return {
+        "render": jnp.transpose(img, (2, 0, 1)),
+        "alpha": alpha_img[None],
+        "radii": ch["radius_f"][:n_points].astype(jnp.int32),
+        "visibility_filter": ch["visible"][:n_points],
+        "n_dropped": n_dropped,
+    }
+
+
+def bin_pairs_lexsort(
+    proj, attrs, grid_x: int, grid_y: int, tile_size: int,
+    static_copies: int = 4, overflow_budget: int = 2 ** 17,
+):
+    """Row-major compatibility wrapper over bin_pairs_lexsort_ch.
+
+    proj: ProjectedGaussians; attrs: (N, 9) packed payload columns."""
+    ch = dict(
+        px=proj.pix_xy[:, 0], py=proj.pix_xy[:, 1], depth=proj.depth,
+        radius_f=proj.radius.astype(jnp.float32), visible=proj.visible,
+    )
+    fields = [attrs[:, i] for i in range(attrs.shape[1])]
+    return bin_pairs_lexsort_ch(
+        ch, fields, grid_x, grid_y, tile_size, static_copies, overflow_budget
+    )
 
 
 def rasterize_fast(
@@ -146,21 +241,24 @@ def rasterize_fast(
     config: RasterizeConfig = RasterizeConfig(),
     static_copies: Optional[int] = None,
     overflow_budget: Optional[int] = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> Dict[str, jax.Array]:
     """Forward-only fast rasterizer (Pallas blend). Same outputs as
     rasterize(); use rasterize() for the differentiable training path."""
     H, W = cam.image_height, cam.image_width
     ts = config.tile_size
     grid_x, grid_y = W // ts, H // ts
-    T = grid_x * grid_y
-    P = ts * ts
     if opacities.ndim == 2:
         opacities = opacities[:, 0]
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
 
-    proj = project_gaussians(cam, means3d, scales, rotations, scale_modifier)
+    ch = project_channels(
+        cam, means3d[:, 0], means3d[:, 1], means3d[:, 2],
+        (rotations[:, 0], rotations[:, 1], rotations[:, 2], rotations[:, 3]),
+        (scales[:, 0] * scale_modifier, scales[:, 1] * scale_modifier,
+         scales[:, 2] * scale_modifier),
+    )
     if colors_precomp is None:
         colors = sh_to_color(
             sh_degree, jnp.swapaxes(shs, 1, 2), means3d, cam.camera_center
@@ -168,32 +266,20 @@ def rasterize_fast(
     else:
         colors = colors_precomp
 
-    attrs = _pack_attrs(proj, colors, opacities)
-    tile_starts, attrs_t, n_dropped = bin_pairs_lexsort(
-        proj, attrs, grid_x, grid_y, ts,
+    fields = [ch["px"], ch["py"], ch["conic_a"], ch["conic_b"], ch["conic_c"],
+              opacities, colors[:, 0], colors[:, 1], colors[:, 2]]
+    tile_starts, attrs_t, n_dropped = bin_pairs_lexsort_ch(
+        ch, fields, grid_x, grid_y, ts,
         static_copies if static_copies is not None else config.static_copies,
         overflow_budget if overflow_budget is not None else config.overflow_budget,
     )
-    # pad so every segment DMA window stays in bounds
-    slack = config.tile_capacity + CHUNK
-    attrs_t = jnp.concatenate(
-        [attrs_t, jnp.zeros((ROW, slack), jnp.float32)], axis=1
+    img, alpha_img = _blend_and_assemble(
+        tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret
     )
-
-    accum, trans = pallas_blend(
-        tile_starts, attrs_t, grid_x, grid_y, ts,
-        max_k=config.tile_capacity, interpret=interpret,
-    )
-    img = accum + trans[:, :, None] * bg[None, None, :]
-    img = img.reshape(grid_y, grid_x, ts, ts, 3)
-    img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(H, W, 3)
-    alpha_img = (1.0 - trans).reshape(grid_y, grid_x, ts, ts)
-    alpha_img = jnp.transpose(alpha_img, (0, 2, 1, 3)).reshape(H, W)
-
     return {
         "render": jnp.transpose(img, (2, 0, 1)),
         "alpha": alpha_img[None],
-        "radii": proj.radius,
-        "visibility_filter": proj.radius > 0,
+        "radii": ch["radius_f"].astype(jnp.int32),
+        "visibility_filter": ch["visible"],
         "n_dropped": n_dropped,
     }

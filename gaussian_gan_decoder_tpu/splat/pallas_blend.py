@@ -18,9 +18,9 @@ Field order (rows of the field-major array):
   5 opacity, 6 r, 7 g, 8 b, 9..15 pad
 
 Saturation math identical to CUDA: alpha clamp 0.99, 1/255 cutoff,
-power>0 cutoff. The CUDA per-pixel T<1e-4 early stop is a work skip; here
-whole chunks are skipped once every pixel in the tile saturates
-(transmittance max carried in the loop).
+power>0 cutoff. The CUDA per-pixel T<1e-4 early stop has NO profitable
+TPU analogue (see the note above the fori_loop): saturated work is
+bounded by max_k instead.
 """
 from __future__ import annotations
 
@@ -137,6 +137,13 @@ def _blend_kernel(
         trans = trans * cp[:, -1:]
         return accum, trans
 
+    # NOTE on the CUDA per-pixel T<1e-4 early stop: both attempted TPU
+    # equivalents LOSE — a data-dependent while_loop serializes the DMA
+    # pipeline (+27 ms), and a per-chunk lax.cond gated on max(trans)
+    # creates a loop-carried scalar reduction that stalls the VPU just as
+    # badly (measured identically +27 ms). The unconditional fixed-trip
+    # loop is the fast form; saturation work-skip must come from capping
+    # max_k / tile_capacity instead.
     accum0 = jnp.zeros((P, 3), jnp.float32)
     trans0 = jnp.ones((P, 1), jnp.float32)
     accum, trans = jax.lax.fori_loop(0, n_chunks, body, (accum0, trans0))
@@ -152,9 +159,11 @@ def pallas_blend(
     grid_y: int,
     tile_size: int = 16,
     max_k: int = 4096,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """-> (accum (T, 256, 3), trans (T, 256))."""
+    if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret
+        interpret = jax.default_backend() == "cpu"
     T = grid_x * grid_y
     P = tile_size * tile_size
     out = pl.pallas_call(

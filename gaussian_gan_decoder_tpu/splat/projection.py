@@ -62,29 +62,38 @@ class ProjectedGaussians(NamedTuple):
     visible: jax.Array     # (N,) bool
 
 
-def project_gaussians(
+def project_channels(
     cam: Camera,
-    means3d: jax.Array,      # (N, 3)
-    scales: jax.Array,       # (N, 3) activated (exp'd)
-    rotations: jax.Array,    # (N, 4)
+    mx, my, mz,              # (N,) world means
+    q,                       # tuple of 4 (N,) quaternion rows (w,x,y,z)
+    s,                       # tuple of 3 (N,) activated scales
     scale_modifier: float = 1.0,
-    cov3d_precomp: jax.Array | None = None,  # (N, 3, 3) optional
-) -> ProjectedGaussians:
-    N = means3d.shape[0]
+    cov3d6=None,             # optional 6-tuple of (N,) upper-tri cov rows
+):
+    """Channel-major projection core -> dict of (N,) vectors.
+
+    ALL hot-path math runs on 1-D (N,) channel vectors: any (N, small-k)
+    intermediate gets its minor dim padded to 128 lanes by the TPU tiled
+    layout, turning a ~120-flop fusion into dozens of 97%-dead-lane
+    passes (measured 20-30 ms at N=500k; this form is ~2 ms).
+    """
     W = cam.world_view_transform  # (4,4) row-vector
     P = cam.full_proj_transform
 
-    hom = jnp.concatenate([means3d, jnp.ones((N, 1), means3d.dtype)], axis=1)
-    view = hom @ W                # (N, 4)
-    clip = hom @ P
-    p_w = 1.0 / (clip[:, 3] + 1e-7)
-    ndc = clip[:, :3] * p_w[:, None]
+    def xform(Mt):
+        return tuple(
+            mx * Mt[0, j] + my * Mt[1, j] + mz * Mt[2, j] + Mt[3, j]
+            for j in range(4)
+        )
 
-    in_front = view[:, 2] > 0.2   # CUDA in_frustum near-plane cull
+    view_x, view_y, view_z, _ = xform(W)
+    clip_x, clip_y, clip_z, clip_w = xform(P)
+    p_w = 1.0 / (clip_w + 1e-7)
 
-    px = ((ndc[:, 0] + 1) * cam.image_width - 1) * 0.5
-    py = ((ndc[:, 1] + 1) * cam.image_height - 1) * 0.5
-    pix_xy = jnp.stack([px, py], axis=1)
+    in_front = view_z > 0.2       # CUDA in_frustum near-plane cull
+
+    px = ((clip_x * p_w + 1) * cam.image_width - 1) * 0.5
+    py = ((clip_y * p_w + 1) * cam.image_height - 1) * 0.5
 
     # --- EWA 2D covariance --------------------------------------------------
     # All channel-wise math over N: XLA lowers (N,2,3)@(N,3,3) batched tiny
@@ -94,12 +103,12 @@ def project_gaussians(
     focal_x = cam.image_width / (2.0 * cam.tanfovx)
     focal_y = cam.image_height / (2.0 * cam.tanfovy)
 
-    tz = view[:, 2]
+    tz = view_z
     tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     limx = 1.3 * cam.tanfovx
     limy = 1.3 * cam.tanfovy
-    tx = jnp.clip(view[:, 0] / tz_safe, -limx, limx) * tz_safe
-    ty = jnp.clip(view[:, 1] / tz_safe, -limy, limy) * tz_safe
+    tx = jnp.clip(view_x / tz_safe, -limx, limx) * tz_safe
+    ty = jnp.clip(view_y / tz_safe, -limy, limy) * tz_safe
 
     # J rows: d(pix)/d(view); V = view rotation (col-vector convention =
     # transpose of the row-vector world_view 3x3 block).
@@ -120,11 +129,10 @@ def project_gaussians(
     v2 = j11 * V[1, 2] + j12 * V[2, 2]
 
     # Sigma entries (6 unique) from M = R diag(S): sigma_ab = sum_j M_aj M_bj
-    if cov3d_precomp is None:
-        q = rotations
-        norm = jnp.sqrt(jnp.sum(jnp.square(q), axis=-1, keepdims=True))
-        q = q / (norm + 1e-12)
-        r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    if cov3d6 is None:
+        r, x, y, z = q
+        norm = jnp.sqrt(r * r + x * x + y * y + z * z) + 1e-12
+        r, x, y, z = r / norm, x / norm, y / norm, z / norm
         r00 = 1 - 2 * (y * y + z * z)
         r01 = 2 * (x * y - r * z)
         r02 = 2 * (x * z + r * y)
@@ -134,9 +142,9 @@ def project_gaussians(
         r20 = 2 * (x * z - r * y)
         r21 = 2 * (y * z + r * x)
         r22 = 1 - 2 * (x * x + y * y)
-        s0 = scales[:, 0] * scale_modifier
-        s1 = scales[:, 1] * scale_modifier
-        s2 = scales[:, 2] * scale_modifier
+        s0 = s[0] * scale_modifier
+        s1 = s[1] * scale_modifier
+        s2 = s[2] * scale_modifier
         m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
         m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
         m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
@@ -147,12 +155,7 @@ def project_gaussians(
         s_12 = m10 * m20 + m11 * m21 + m12 * m22
         s_22 = m20 * m20 + m21 * m21 + m22 * m22
     else:
-        s_00 = cov3d_precomp[:, 0, 0]
-        s_01 = cov3d_precomp[:, 0, 1]
-        s_02 = cov3d_precomp[:, 0, 2]
-        s_11 = cov3d_precomp[:, 1, 1]
-        s_12 = cov3d_precomp[:, 1, 2]
-        s_22 = cov3d_precomp[:, 2, 2]
+        s_00, s_01, s_02, s_11, s_12, s_22 = cov3d6
 
     # cov2d = JW Sigma JW^T: a = u.Sigma.u, b = u.Sigma.v, c = v.Sigma.v
     su0 = s_00 * u0 + s_01 * u1 + s_02 * u2
@@ -167,20 +170,46 @@ def project_gaussians(
 
     det = cov_a * cov_c - cov_b * cov_b
     det_ok = det > 0.0
-    det_safe = jnp.where(det_ok, det, 1.0)
-    conic = jnp.stack([cov_c, -cov_b, cov_a], axis=1) / det_safe[:, None]
+    det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
 
     mid = 0.5 * (cov_a + cov_c)
     lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(lam))
 
     visible = in_front & det_ok
-    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    radius_f = jnp.where(visible, radius_f, 0.0)
 
+    return dict(
+        px=px, py=py, depth=view_z,
+        conic_a=cov_c * det_inv, conic_b=-cov_b * det_inv, conic_c=cov_a * det_inv,
+        radius_f=radius_f, visible=visible & (radius_f > 0),
+    )
+
+
+def project_gaussians(
+    cam: Camera,
+    means3d: jax.Array,      # (N, 3)
+    scales: jax.Array,       # (N, 3) activated (exp'd)
+    rotations: jax.Array,    # (N, 4)
+    scale_modifier: float = 1.0,
+    cov3d_precomp: jax.Array | None = None,  # (N, 3, 3) optional
+) -> ProjectedGaussians:
+    """Row-major API over project_channels (generic/differentiable path)."""
+    cov6 = None
+    if cov3d_precomp is not None:
+        cov6 = (cov3d_precomp[:, 0, 0], cov3d_precomp[:, 0, 1],
+                cov3d_precomp[:, 0, 2], cov3d_precomp[:, 1, 1],
+                cov3d_precomp[:, 1, 2], cov3d_precomp[:, 2, 2])
+    ch = project_channels(
+        cam, means3d[:, 0], means3d[:, 1], means3d[:, 2],
+        (rotations[:, 0], rotations[:, 1], rotations[:, 2], rotations[:, 3]),
+        (scales[:, 0], scales[:, 1], scales[:, 2]),
+        scale_modifier, cov3d6=cov6,
+    )
     return ProjectedGaussians(
-        pix_xy=pix_xy,
-        depth=view[:, 2],
-        conic=conic,
-        radius=radius,
-        visible=visible & (radius > 0),
+        pix_xy=jnp.stack([ch["px"], ch["py"]], axis=1),
+        depth=ch["depth"],
+        conic=jnp.stack([ch["conic_a"], ch["conic_b"], ch["conic_c"]], axis=1),
+        radius=ch["radius_f"].astype(jnp.int32),
+        visible=ch["visible"],
     )

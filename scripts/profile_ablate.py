@@ -15,11 +15,7 @@ from gaussian_gan_decoder_tpu.flagship import (
     flagship_raster_config,
 )
 from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
-from gaussian_gan_decoder_tpu.splat.fast_raster import _pack_attrs, bin_pairs_lexsort
 from gaussian_gan_decoder_tpu.splat.pallas_blend import CHUNK, ROW, pallas_blend
-from gaussian_gan_decoder_tpu.splat.projection import project_gaussians
-from gaussian_gan_decoder_tpu.gaussians.sh import sh_to_color
-from gaussian_gan_decoder_tpu.splat.rasterize import _tile_rects
 
 ITERS = int(os.environ.get("PROF_ITERS", 10))
 
@@ -37,22 +33,44 @@ def main():
     zs = jax.random.normal(jax.random.PRNGKey(3), (ITERS, 1, 512))
     bg = jnp.asarray([0.55717, 0.52256, 0.51045], jnp.float32)
 
+    from gaussian_gan_decoder_tpu.gaussians.sh import SH_C0
+    from gaussian_gan_decoder_tpu.splat.fast_raster import bin_pairs_lexsort_ch
+    from gaussian_gan_decoder_tpu.splat.projection import project_channels
+
+    M = 500_000
+
     def frame(params, z, stage):
-        d = dec.apply(params, z, cp, init_pos, 1.0)
+        out16, layout = dec.apply_packed(params, z, cp, init_pos, 1.0)
         if stage == "decode":
-            return jnp.sum(d.xyz[:8]) + jnp.sum(d.color[:8])
-        means3d = d.xyz
-        scales = jnp.exp(d.scale)
-        proj = project_gaussians(cam, means3d, scales, d.rotation, 1.0)
+            return jnp.sum(out16[:8])
+        o = out16.T
+        s0, _ = layout["scale"]
+        r0, _ = layout["rotation"]
+        x0, _ = layout["xyz"]
+        ch = project_channels(
+            cam, o[x0], o[x0 + 1], o[x0 + 2],
+            (o[r0], o[r0 + 1], o[r0 + 2], o[r0 + 3]),
+            (jnp.exp(o[s0]), jnp.exp(o[s0 + 1]), jnp.exp(o[s0 + 2])),
+        )
+        ch["visible"] = ch["visible"] & (jnp.arange(o.shape[1]) < M)
         if stage == "project":
-            return jnp.sum(proj.pix_xy[:8]) + jnp.sum(proj.conic[:8])
-        opac = jax.nn.sigmoid(d.opacity[:, 0])
-        cols = jnp.clip(d.color * 0.28209479177387814 + 0.5, 0.0, 1.0)
-        attrs = _pack_attrs(proj, cols, opac)
-        tile_starts, attrs_t, nd = bin_pairs_lexsort(
-            proj, attrs, gx, gy, ts, rcfg.static_copies, rcfg.overflow_budget)
+            return jnp.sum(ch["px"][:8]) + jnp.sum(ch["conic_a"][:8])
+        c0, _ = layout["color"]
+        op0, _ = layout["opacity"]
+        opac = jax.nn.sigmoid(o[op0])
+        cols = [jnp.maximum(SH_C0 * o[c0 + i] + 0.5, 0.0) for i in range(3)]
+        fields = [ch["px"], ch["py"], ch["conic_a"], ch["conic_b"],
+                  ch["conic_c"], opac] + cols
+        tile_starts, attrs_t, nd = bin_pairs_lexsort_ch(
+            ch, fields, gx, gy, ts, rcfg.static_copies, rcfg.overflow_budget)
         if stage == "bin":
             return jnp.sum(tile_starts[:8].astype(jnp.float32)) + attrs_t[0, 0]
+        if stage == "bin_all":
+            # consume EVERY sorted payload row: XLA's sort simplifier strips
+            # operands whose outputs are unused, so the plain "bin" stage
+            # under-counts — this stage is the honest pre-blend baseline
+            return (jnp.sum(tile_starts[:8].astype(jnp.float32))
+                    + jnp.sum(attrs_t[:, ::4097]))
         slack = rcfg.tile_capacity + CHUNK
         attrs_t = jnp.concatenate([attrs_t, jnp.zeros((ROW, slack), jnp.float32)], axis=1)
         accum, trans = pallas_blend(tile_starts, attrs_t, gx, gy, ts,
@@ -61,7 +79,7 @@ def main():
         return jnp.sum(img[:4])
 
     prev = 0.0
-    for stage in ["decode", "project", "bin", "full"]:
+    for stage in ["decode", "project", "bin", "bin_all", "full"]:
         @jax.jit
         def stream(params, zs, stage=stage):
             def body(i, acc):

@@ -48,3 +48,43 @@ def test_fast_segment_alignment_prefix(rng):
     out_fast = rasterize_fast(*args, **kw, interpret=True, overflow_budget=2 ** 12)
     p = psnr(np.asarray(out_fast["render"]), np.asarray(out_ref["render"]))
     assert p > 45.0, p
+
+
+def test_render_packed_matches_render_simple():
+    """Channel-major packed hot path == XLA render_simple (bit-close),
+    including masking of the heads kernel's padding rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.splat.fast_raster import render_packed
+    from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig, render_simple
+
+    cp, c2w = default_camera_params()
+    cam = make_camera(64, jnp.asarray(0.227), c2w)
+    N, Mpad = 500, 512
+    k = jax.random.PRNGKey(0)
+    xyz = (jax.random.uniform(k, (N, 3)) - 0.5) * 0.4
+    scale = -jax.nn.softplus(jax.random.normal(jax.random.fold_in(k, 1), (N, 3)) + 5.0) - 1.0
+    rot = jax.random.normal(jax.random.fold_in(k, 2), (N, 4))
+    opa = jax.random.normal(jax.random.fold_in(k, 3), (N, 1))
+    col = jax.random.normal(jax.random.fold_in(k, 4), (N, 3)) * 0.3
+    cfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 14, tile_capacity=256,
+                          chunk=32, static_copies=2, overflow_budget=2 ** 12)
+    bg = jnp.asarray([0.5, 0.5, 0.5])
+    ref = render_simple(cam, dict(xyz=xyz, scale=scale, rotation=rot,
+                                  opacity=opa, color=col), bg=bg, config=cfg,
+                        backend="xla")
+
+    out16 = jnp.zeros((Mpad, 16))
+    out16 = (out16.at[:N, 0:3].set(col).at[:N, 3:4].set(opa)
+             .at[:N, 4:8].set(rot).at[:N, 8:11].set(scale).at[:N, 11:14].set(xyz))
+    out16 = out16.at[N:, :].set(7.7)  # padding rows must be masked out
+    layout = {"color": (0, 3), "opacity": (3, 1), "rotation": (4, 4),
+              "scale": (8, 3), "xyz": (11, 3)}
+    out = render_packed(cam, out16, layout, N, bg=bg, config=cfg, interpret=True)
+    a = np.asarray(ref["render"])
+    b = np.asarray(out["render"])
+    assert np.abs(a - b).max() < 2e-5
