@@ -47,13 +47,18 @@ def _tile_rects_ch(px, py, radius_f, grid_x, grid_y, tile_size):
     return x0, y0, jnp.maximum(x1 - x0, 0), jnp.maximum(y1 - y0, 0)
 
 
-def bin_pairs_lexsort_ch(
+def build_pairs_ch(
     ch: Dict[str, jax.Array],          # project_channels output
     fields,                            # 9 (N,) payload channels (blend ROW order)
     grid_x: int, grid_y: int, tile_size: int,
     static_copies: int = 4, overflow_budget: int = 2 ** 17,
 ):
-    """-> (tile_starts (T+2,), sorted_attrs (ROW, Ptot), n_dropped)."""
+    """-> (tile_key (Ptot,), qd (Ptot,), fields_rep [9 x (Ptot,)], n_dropped).
+
+    Pre-sort pair construction on 1-D channel vectors; the overflow lane
+    pays ONE packed (N, 13) gather — measured FASTER than 13 narrow 1-D
+    takes (96 vs 102 ms/frame): per-row gather cost dominates, so fewer
+    wider rows win even though building the row-major pack relayouts."""
     fields = [f.astype(jnp.float32) for f in fields]
     N = fields[0].shape[0]
     T = grid_x * grid_y
@@ -69,11 +74,12 @@ def bin_pairs_lexsort_ch(
 
     # -- static copies: copy k covers rect cell (k // rw, k % rw) ------------
     rw1 = jnp.maximum(rw, 1)
+    base = y0 * grid_x + x0                                  # (N,) first tile
     tiles = []
     for k in range(static_copies):
         cy = k // rw1
         cx = k % rw1
-        tile_k = (y0 + cy) * grid_x + (x0 + cx)
+        tile_k = base + cy * grid_x + cx
         valid_k = vis & (k < area)
         tiles.append(jnp.where(valid_k, tile_k, T))
     tile_key = jnp.concatenate(tiles)                        # (C*N,)
@@ -81,8 +87,8 @@ def bin_pairs_lexsort_ch(
     fields_rep = [jnp.tile(f, (static_copies,)) for f in fields]
 
     # -- overflow lane for rect area > static_copies --------------------------
-    # ONE packed gather for all per-gaussian quantities (separate scalar
-    # gathers each pay the full ~13ns/row cost)
+    # ONE packed gather for all per-gaussian quantities (13 separate narrow
+    # takes measured ~5 ms slower — per-row cost dominates gather time)
     counts_over = jnp.where(vis, jnp.maximum(area - static_copies, 0), 0)
     over_total = jnp.sum(counts_over)
     n_dropped = jnp.maximum(0, over_total - overflow_budget)
@@ -93,28 +99,37 @@ def bin_pairs_lexsort_ch(
     )
     # small ints and offsets are exact in f32 (< 2^24); depth rides as f32
     pack = jnp.stack(
-        [
-            x0.astype(jnp.float32), y0.astype(jnp.float32),
-            rw1.astype(jnp.float32), offs.astype(jnp.float32), depth_pos,
-        ] + list(fields),
+        [base.astype(jnp.float32), rw1.astype(jnp.float32),
+         offs.astype(jnp.float32), depth_pos] + list(fields),
         axis=1,
-    )  # (N, 14)
-    rows = jnp.take(pack, ids, axis=0)  # (overflow_budget, 14)
+    )  # (N, 13)
+    rows = jnp.take(pack, ids, axis=0)  # (overflow_budget, 13)
     pos = jnp.arange(overflow_budget, dtype=jnp.int32)
-    lo = pos - rows[:, 3].astype(jnp.int32)
-    cell = static_copies + lo
-    rw_o = rows[:, 2].astype(jnp.int32)
-    tile_o = (rows[:, 1].astype(jnp.int32) + cell // rw_o) * grid_x + (
-        rows[:, 0].astype(jnp.int32) + cell % rw_o
-    )
+    cell = static_copies + (pos - rows[:, 2].astype(jnp.int32))
+    rw_o = rows[:, 1].astype(jnp.int32)
+    tile_o = rows[:, 0].astype(jnp.int32) + (cell // rw_o) * grid_x + cell % rw_o
     valid_o = pos < over_total
     tile_key = jnp.concatenate([tile_key, jnp.where(valid_o, tile_o, T)])
     qd = jnp.concatenate(
-        [qd, jax.lax.bitcast_convert_type(rows[:, 4].astype(jnp.float32), jnp.int32)]
+        [qd, jax.lax.bitcast_convert_type(rows[:, 3], jnp.int32)]
     )
     fields_rep = [
-        jnp.concatenate([fr, rows[:, 5 + i]]) for i, fr in enumerate(fields_rep)
+        jnp.concatenate([fr, rows[:, 4 + i]]) for i, fr in enumerate(fields_rep)
     ]
+    return tile_key, qd, fields_rep, n_dropped
+
+
+def bin_pairs_lexsort_ch(
+    ch: Dict[str, jax.Array],          # project_channels output
+    fields,                            # 9 (N,) payload channels (blend ROW order)
+    grid_x: int, grid_y: int, tile_size: int,
+    static_copies: int = 4, overflow_budget: int = 2 ** 17,
+):
+    """-> (tile_starts (T+2,), sorted_attrs (ROW, Ptot), n_dropped)."""
+    T = grid_x * grid_y
+    tile_key, qd, fields_rep, n_dropped = build_pairs_ch(
+        ch, fields, grid_x, grid_y, tile_size, static_copies, overflow_budget
+    )
 
     # -- one lexicographic sort: (tile, depth-bits) + the 9 live payloads -----
     sorted_ops = jax.lax.sort([tile_key, qd] + fields_rep, num_keys=2)
@@ -194,6 +209,11 @@ def render_packed(
 
     fields = [ch["px"], ch["py"], ch["conic_a"], ch["conic_b"], ch["conic_c"],
               opac] + cols
+    # materialize the channel vectors ONCE: without the barrier XLA fuses
+    # the (Mpad,16) transpose + projection math into each of the ~11
+    # tile/concat consumers in pair building, re-reading the lane-padded
+    # 256 MB transpose input every time (measured +19 ms in pairs alone)
+    ch, fields = jax.lax.optimization_barrier((ch, fields))
     tile_starts, attrs_t, n_dropped = bin_pairs_lexsort_ch(
         ch, fields, grid_x, grid_y, ts,
         config.static_copies, config.overflow_budget,

@@ -61,6 +61,54 @@ def main():
         cols = [jnp.maximum(SH_C0 * o[c0 + i] + 0.5, 0.0) for i in range(3)]
         fields = [ch["px"], ch["py"], ch["conic_a"], ch["conic_b"],
                   ch["conic_c"], opac] + cols
+        if "barrier" not in os.environ.get("PROF_NO_BARRIER", ""):
+            ch, fields = jax.lax.optimization_barrier((ch, fields))
+        if stage == "fields":
+            return sum(jnp.sum(f[::4097]) for f in fields)
+        if stage in ("rects", "ids", "pairs_static", "pairs"):
+            from gaussian_gan_decoder_tpu.splat.fast_raster import (
+                _tile_rects_ch, build_pairs_ch)
+            if stage == "pairs":
+                tile_key, qd, fields_rep, _nd = build_pairs_ch(
+                    ch, fields, gx, gy, ts, rcfg.static_copies,
+                    rcfg.overflow_budget)
+                return (jnp.sum(tile_key[::4097].astype(jnp.float32))
+                        + jnp.sum(qd[::4097].astype(jnp.float32))
+                        + sum(jnp.sum(f[::4097]) for f in fields_rep))
+            x0, y0, rw, rh = _tile_rects_ch(
+                ch["px"].astype(jnp.float32), ch["py"].astype(jnp.float32),
+                ch["radius_f"].astype(jnp.float32), gx, gy, ts)
+            area = rw * rh
+            vis = ch["visible"] & (area > 0)
+            if stage == "rects":
+                return (jnp.sum(area[::4097].astype(jnp.float32))
+                        + jnp.sum(vis[::4097].astype(jnp.float32))
+                        + sum(jnp.sum(f[::4097]) for f in fields))
+            if stage == "ids":
+                counts = jnp.where(vis, jnp.maximum(area - rcfg.static_copies, 0), 0)
+                offs = jnp.cumsum(counts) - counts
+                ids = jnp.repeat(jnp.arange(area.shape[0], dtype=jnp.int32),
+                                 counts, total_repeat_length=rcfg.overflow_budget)
+                return (jnp.sum(ids.astype(jnp.float32))
+                        + jnp.sum(offs[::4097].astype(jnp.float32))
+                        + sum(jnp.sum(f[::4097]) for f in fields))
+            # pairs_static: tiling/copies lanes only, no overflow machinery
+            T = gx * gy
+            rw1 = jnp.maximum(rw, 1)
+            base = y0 * gx + x0
+            qdepth = jax.lax.bitcast_convert_type(
+                jnp.maximum(ch["depth"], 1e-6).astype(jnp.float32), jnp.int32)
+            tiles = []
+            for k in range(rcfg.static_copies):
+                tile_k = base + (k // rw1) * gx + k % rw1
+                tiles.append(jnp.where(vis & (k < area), tile_k, T))
+            tile_key = jnp.concatenate(tiles)
+            qd = jnp.tile(qdepth, (rcfg.static_copies,))
+            fields_rep = [jnp.tile(f.astype(jnp.float32), (rcfg.static_copies,))
+                          for f in fields]
+            return (jnp.sum(tile_key[::4097].astype(jnp.float32))
+                    + jnp.sum(qd[::4097].astype(jnp.float32))
+                    + sum(jnp.sum(f[::4097]) for f in fields_rep))
         tile_starts, attrs_t, nd = bin_pairs_lexsort_ch(
             ch, fields, gx, gy, ts, rcfg.static_copies, rcfg.overflow_budget)
         if stage == "bin":
@@ -79,7 +127,10 @@ def main():
         return jnp.sum(img[:4])
 
     prev = 0.0
-    for stage in ["decode", "project", "bin", "bin_all", "full"]:
+    stages = os.environ.get(
+        "PROF_STAGES",
+        "decode,project,fields,pairs,bin,bin_all,full").split(",")
+    for stage in stages:
         @jax.jit
         def stream(params, zs, stage=stage):
             def body(i, acc):
