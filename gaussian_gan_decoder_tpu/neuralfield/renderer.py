@@ -138,18 +138,28 @@ def _bilinear_brick_sample(feats, grid):
     ix, wx, vx0, vx1 = _corner_weights_1d(grid[..., 0], W)
     iy, wy, vy0, vy1 = _corner_weights_1d(grid[..., 1], H)
     idx = iy * (W + 1) + ix
+
+    def combine(rows, wxb, wyb, vx0b, vx1b, vy0b, vy1b):
+        c00, c01, c10, c11 = jnp.split(rows, 4, axis=-1)
+        wxb = wxb[..., None]
+        wyb = wyb[..., None]
+        m = lambda v: v[..., None].astype(rows.dtype)  # noqa: E731
+        return (
+            c00 * m(vy0b & vx0b) * (1 - wxb) * (1 - wyb)
+            + c01 * m(vy0b & vx1b) * wxb * (1 - wyb)
+            + c10 * m(vy1b & vx0b) * (1 - wxb) * wyb
+            + c11 * m(vy1b & vx1b) * wxb * wyb
+        )
+
+    wargs = (wx, wy, vx0, vx1, vy0, vy1)
+    if B <= 12:
+        # unrolled plain takes beat one batched gather (see trilinear note)
+        return jnp.stack(
+            [combine(jnp.take(e[b], idx[b], axis=0), *(a[b] for a in wargs))
+             for b in range(B)]
+        )
     rows = jax.vmap(lambda ee, ii: jnp.take(ee, ii, axis=0))(e, idx)  # (B, M, 4C)
-    c00, c01, c10, c11 = jnp.split(rows, 4, axis=-1)
-    wx = wx[..., None]
-    wy = wy[..., None]
-    m = lambda v: v[..., None].astype(rows.dtype)  # noqa: E731
-    out = (
-        c00 * m(vy0 & vx0) * (1 - wx) * (1 - wy)
-        + c01 * m(vy0 & vx1) * wx * (1 - wy)
-        + c10 * m(vy1 & vx0) * (1 - wx) * wy
-        + c11 * m(vy1 & vx1) * wx * wy
-    )
-    return out
+    return jax.vmap(combine)(rows, *wargs)
 
 
 def _trilinear_brick_sample(feats, grid, pallas_build: bool = False):
@@ -183,28 +193,42 @@ def _trilinear_brick_sample(feats, grid, pallas_build: bool = False):
     iy, wy, vy0, vy1 = _corner_weights_1d(grid[..., 1], H)
     iz, wz, vz0, vz1 = _corner_weights_1d(grid[..., 2], D)
     idx = (iz * NY + iy) * (W + 1) + ix
+
+    def combine(rows, wxb, wyb, wzb, vx0b, vx1b, vy0b, vy1b, vz0b, vz1b):
+        # NO barrier before the 8-corner combine: XLA keeps it as one
+        # fusion over a single gather; materializing rows (768 MB at
+        # flagship) measured +13 ms
+        cs = jnp.split(rows, 8, axis=-1)  # order (dz, dy, dx)
+        wxb = wxb[..., None]
+        wyb = wyb[..., None]
+        wzb = wzb[..., None]
+        m = lambda v: v[..., None].astype(rows.dtype)  # noqa: E731
+        vz = (vz0b, vz1b)
+        vy = (vy0b, vy1b)
+        vx = (vx0b, vx1b)
+        wzs = (1 - wzb, wzb)
+        wys = (1 - wyb, wyb)
+        wxs = (1 - wxb, wxb)
+        out = 0.0
+        k = 0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    out = out + cs[k] * m(vz[dz] & vy[dy] & vx[dx]) * wzs[dz] * wys[dy] * wxs[dx]
+                    k += 1
+        return out
+
+    wargs = (wx, wy, wz, vx0, vx1, vy0, vy1, vz0, vz1)
+    if B <= 12:
+        # unrolled per-plane takes: a batched (vmap'd) gather measured
+        # 13.1 ns/row vs 9.1 ns/row for plain takes — ~6 ms/frame at
+        # flagship (3 planes x 500k rows)
+        return jnp.stack(
+            [combine(jnp.take(e[b], idx[b], axis=0), *(a[b] for a in wargs))
+             for b in range(B)]
+        )
     rows = jax.vmap(lambda ee, ii: jnp.take(ee, ii, axis=0))(e, idx)  # (B, M, 8C)
-    # NO barrier here: XLA keeps the 8-corner combine as one fusion over a
-    # single gather; materializing rows (768 MB at flagship) costs +13 ms
-    cs = jnp.split(rows, 8, axis=-1)  # order (dz, dy, dx)
-    wx = wx[..., None]
-    wy = wy[..., None]
-    wz = wz[..., None]
-    m = lambda v: v[..., None].astype(rows.dtype)  # noqa: E731
-    vz = (vz0, vz1)
-    vy = (vy0, vy1)
-    vx = (vx0, vx1)
-    wzs = (1 - wz, wz)
-    wys = (1 - wy, wy)
-    wxs = (1 - wx, wx)
-    out = 0.0
-    k = 0
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                out = out + cs[k] * m(vz[dz] & vy[dy] & vx[dx]) * wzs[dz] * wys[dy] * wxs[dx]
-                k += 1
-    return out
+    return jax.vmap(combine)(rows, *wargs)
 
 
 def sample_from_3dgrid(grid: jax.Array, coordinates: jax.Array) -> jax.Array:
