@@ -51,6 +51,7 @@ class DecoderHead:
     n_features: int
     out_features: int = 3
     hidden_dim: int = 128
+    gelu: str = "exact"  # see GaussianDecoder.gelu
 
     def _dims(self):
         h = self.hidden_dim
@@ -76,7 +77,11 @@ class DecoderHead:
             b = params[f"fc{i}"]["bias"]
             x = x @ w.T.astype(x.dtype) + b.astype(x.dtype)
             if i < 3:
-                x = jax.nn.gelu(x, approximate=False)
+                if self.gelu == "poly":
+                    from .pallas_heads import gelu_poly
+                    x = gelu_poly(x)
+                else:
+                    x = jax.nn.gelu(x, approximate=(self.gelu == "tanh"))
         return x
 
 
@@ -97,6 +102,9 @@ class GaussianDecoder:
     use_gen_finetune: bool = True
     bf16_sampling: bool = False   # bf16 brick gathers (speed; ~2^-8 feat err)
     pallas_heads: bool = False    # fused VMEM-resident head chain (inference)
+    gelu: str = "exact"           # 'exact' (torch parity) | 'poly' (1.2e-4
+    # max dev, no transcendentals — the exact erf costs 5.5 ms/frame in the
+    # fused chain) | 'tanh' (jax.nn.gelu default approximation)
     heads_bf16: bool = False      # bf16 matmuls inside the fused heads
     pallas_sampling: bool = False  # Pallas streaming brick-table build
 
@@ -118,7 +126,8 @@ class GaussianDecoder:
         for name, out_dim in _CHAINS[self.decoder_type]:
             cond = self.position_dim + (extra if self.decoder_type != "parallel" else 0)
             heads[name] = DecoderHead(
-                n_features=32 + cond, out_features=out_dim, hidden_dim=self.hidden_dim
+                n_features=32 + cond, out_features=out_dim,
+                hidden_dim=self.hidden_dim, gelu=self.gelu,
             )
             extra += out_dim
         return heads
@@ -167,6 +176,7 @@ class GaussianDecoder:
                 cond, init_position, self.scale_offset,
                 parallel=(self.decoder_type == "parallel"),
                 compute_dtype=jnp.bfloat16 if self.heads_bf16 else jnp.float32,
+                gelu=self.gelu,
             )
             return EasyDict(out)
 
@@ -235,6 +245,7 @@ class GaussianDecoder:
             parallel=(self.decoder_type == "parallel"),
             compute_dtype=jnp.bfloat16 if self.heads_bf16 else jnp.float32,
             return_packed=True,
+            gelu=self.gelu,
         )
 
     def apply_packed(self, params: Params, z, gan_camera_params, init_position, truncation_psi=1.0):

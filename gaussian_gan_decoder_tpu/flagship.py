@@ -43,6 +43,9 @@ def flagship_decoder(
         pallas_heads=pallas_heads,
         heads_bf16=pallas_heads,
         pallas_sampling=pallas_heads,
+        # polynomial GELU: 1.2e-4 max dev from exact erf, no VPU
+        # transcendentals — the erf path costs 5.5 ms/frame in the chain
+        gelu="poly" if pallas_heads else "exact",
     )
 
 

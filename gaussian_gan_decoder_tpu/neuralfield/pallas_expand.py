@@ -35,26 +35,45 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _expand_kernel(fp_hbm, out_ref, win, sem, *, C: int, W: int, D: int):
-    # grid: (B, D+1, NY//YB); out block (1, YB, W+1, 8C) at row b*(D+1)+z
+def _expand_kernel(fp_hbm, out_ref, win, sem, *, C: int, W: int, D: int,
+                   nz: int, nyb: int):
+    # grid: (B, D+1, NY//YB); out block (1, YB, W+1, 8C) at row b*(D+1)+z.
+    # The window DMA for program i+1 is started while program i computes
+    # (double-buffered on grid-step parity) — a synchronous start/wait per
+    # program exposes ~200 full DMA latencies (~5 ms/frame at flagship).
     b = pl.program_id(0)
     z = pl.program_id(1)
     yb = pl.program_id(2)
+    step = (b * nz + z) * nyb + yb
+    n_steps = pl.num_programs(0) * nz * nyb
+    slot = step % 2
 
-    dma = pltpu.make_async_copy(
-        fp_hbm.at[b, pl.ds(z, 2), pl.ds(yb * YB, YB + 8)],
-        win,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    def dma(s, st):
+        bb = st // (nz * nyb)
+        zz = (st // nyb) % nz
+        yy = st % nyb
+        return pltpu.make_async_copy(
+            fp_hbm.at[bb, pl.ds(zz, 2), pl.ds(yy * YB, YB + 8)],
+            win.at[s],
+            sem.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        dma((step + 1) % 2, step + 1).start()
+
+    dma(slot, step).wait()
 
     for dz in (0, 1):
         for dy in (0, 1):
             for dx in (0, 1):
                 g = (dz * 2 + dy) * 2 + dx
                 out_ref[0, :, :, g * C:(g + 1) * C] = (
-                    win[dz, dy:dy + YB, dx:dx + W + 1, :C]
+                    win[slot, dz, dy:dy + YB, dx:dx + W + 1, :C]
                 )
 
 
@@ -82,7 +101,8 @@ def build_brick_table(feats: jax.Array, dtype=None, interpret: bool | None = Non
     # fp: (B, D+2, NY+8, NX, 128)
 
     out = pl.pallas_call(
-        functools.partial(_expand_kernel, C=C, W=W, D=D),
+        functools.partial(_expand_kernel, C=C, W=W, D=D,
+                          nz=D + 1, nyb=NY // YB),
         grid=(B, D + 1, NY // YB),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -92,8 +112,8 @@ def build_brick_table(feats: jax.Array, dtype=None, interpret: bool | None = Non
         ),
         out_shape=jax.ShapeDtypeStruct((B * (D + 1), NY, W + 1, 8 * C), feats.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, YB + 8, NX, LANE), feats.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 2, YB + 8, NX, LANE), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(fp)

@@ -40,6 +40,45 @@ def main():
     M = 500_000
 
     def frame(params, z, stage):
+        if stage in ("synth", "table", "sample"):
+            planes, _ = dec.synthesize_planes(params, z, cp, 1.0)
+            if stage == "synth":
+                return jnp.sum(planes[..., ::257].astype(jnp.float32))
+            g = dec.generator
+            if stage == "sample":
+                from gaussian_gan_decoder_tpu.neuralfield.renderer import (
+                    sample_from_planes)
+                feats = sample_from_planes(
+                    g.renderer.plane_axes, planes, init_pos[None],
+                    box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
+                    brick_dtype=jnp.bfloat16, pallas_build=True)[0]
+                return jnp.sum(feats[:, ::4097].astype(jnp.float32))
+            from gaussian_gan_decoder_tpu.neuralfield.pallas_expand import (
+                build_brick_table)
+            _N, n_planes, CD, H, W = planes.shape
+            D = g.triplane_depth
+            feats5 = planes.astype(jnp.bfloat16).reshape(
+                n_planes, CD // D, D, H, W)
+            e, _NY = build_brick_table(feats5)
+            return jnp.sum(e[:, ::8193, ::129].astype(jnp.float32))
+        if stage == "stagein":
+            # mean + embedder + staging concat (the fused-heads kernel input)
+            planes, _ = dec.synthesize_planes(params, z, cp, 1.0)
+            g = dec.generator
+            from gaussian_gan_decoder_tpu.neuralfield.renderer import (
+                sample_from_planes)
+            feats = sample_from_planes(
+                g.renderer.plane_axes, planes, init_pos[None],
+                box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
+                brick_dtype=jnp.bfloat16, pallas_build=True)[0]
+            fm = jnp.mean(feats, axis=0).astype(jnp.float32)
+            cond = (dec.embedder(init_pos) if dec.use_xyz_embedding
+                    else init_pos)
+            staging = jnp.concatenate(
+                [fm, cond.astype(jnp.float32),
+                 jnp.zeros((fm.shape[0], 128 - 32 - cond.shape[1] - 3)),
+                 init_pos.astype(jnp.float32)], axis=1).astype(jnp.bfloat16)
+            return jnp.sum(staging[::4097, :].astype(jnp.float32))
         out16, layout = dec.apply_packed(params, z, cp, init_pos, 1.0)
         if stage == "decode":
             return jnp.sum(out16[:8])
