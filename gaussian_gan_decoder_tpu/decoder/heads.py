@@ -252,6 +252,36 @@ class GaussianDecoder:
         planes, _ = self.synthesize_planes(params, z, gan_camera_params, truncation_psi)
         return self.decode_packed(params, planes, init_position)
 
+    def decode_project(self, params: Params, planes, init_position, cam):
+        """Fused heads + EWA projection -> (rows (NROWS, Mpad), layout).
+
+        Channel-major: rows[0:16] raw head outputs, rows[16:28] the
+        screen-space quantities (splat/fast_raster.py render_rows)."""
+        from .pallas_heads import decode_project_pallas
+
+        g = self.generator
+        feats = sample_from_planes(
+            g.renderer.plane_axes, planes, init_position[None],
+            box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
+            brick_dtype=jnp.bfloat16 if self.bf16_sampling else None,
+            pallas_build=self.pallas_sampling and g.triplane_depth > 1,
+        )[0]
+        cond = self.embedder(init_position) if self.use_xyz_embedding else init_position
+        return decode_project_pallas(
+            {name: params[name] for name, _ in _CHAINS[self.decoder_type]},
+            _CHAINS[self.decoder_type],
+            jnp.mean(feats, axis=0).astype(jnp.float32),
+            cond, init_position, self.scale_offset,
+            cam=cam, n_points=init_position.shape[0],
+            parallel=(self.decoder_type == "parallel"),
+            compute_dtype=jnp.bfloat16 if self.heads_bf16 else jnp.float32,
+            gelu=self.gelu,
+        )
+
+    def apply_project(self, params: Params, z, gan_camera_params, init_position, cam, truncation_psi=1.0):
+        planes, _ = self.synthesize_planes(params, z, gan_camera_params, truncation_psi)
+        return self.decode_project(params, planes, init_position, cam)
+
     def trainable_filter(self, path: Tuple, _leaf) -> bool:
         """optax mask: heads always train; 'G' only with use_gen_finetune
         (ref get_params_custom, sequential_decoder_reverse.py:89-99)."""

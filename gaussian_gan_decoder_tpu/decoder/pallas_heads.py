@@ -137,6 +137,65 @@ def _heads_kernel(
         out_ref[:, out_col:out_col + out_dim] = o[:, :out_dim].astype(out_ref.dtype)
 
 
+def _pack_chain(head_params, chain_spec, P, parallel, compute_dtype):
+    """-> (weights 8-tuple, chain list, layout dict)."""
+    n_heads = len(chain_spec)
+    w1 = jnp.zeros((n_heads, STAGE, STAGE), jnp.float32)
+    b1 = jnp.zeros((n_heads, 1, STAGE), jnp.float32)
+    w2 = jnp.zeros((n_heads, STAGE, STAGE), jnp.float32)
+    b2 = jnp.zeros((n_heads, 1, STAGE), jnp.float32)
+    w3 = jnp.zeros((n_heads, STAGE, STAGE), jnp.float32)
+    b3 = jnp.zeros((n_heads, 1, STAGE), jnp.float32)
+    w4 = jnp.zeros((n_heads, STAGE, OUT_W), jnp.float32)
+    b4 = jnp.zeros((n_heads, 1, OUT_W), jnp.float32)
+
+    chain = []
+    layout = {}
+    stage_col = 32 + P
+    out_col = 0
+    for h, (name, out_dim) in enumerate(chain_spec):
+        hp = head_params[name]
+        tw1 = hp["fc0"]["weight"].T  # (n_in, 128)
+        n_in = tw1.shape[0]
+        w1 = w1.at[h, :n_in, :].set(tw1)
+        b1 = b1.at[h, 0].set(hp["fc0"]["bias"])
+        w2 = w2.at[h].set(hp["fc1"]["weight"].T)
+        b2 = b2.at[h, 0].set(hp["fc1"]["bias"])
+        w3 = w3.at[h].set(hp["fc2"]["weight"].T)
+        b3 = b3.at[h, 0].set(hp["fc2"]["bias"])
+        w4 = w4.at[h, :, :out_dim].set(hp["fc3"]["weight"].T)
+        b4 = b4.at[h, 0, :out_dim].set(hp["fc3"]["bias"])
+        # parallel decoder: chain outputs stay OUT of the staging prefix
+        chain.append((name, out_dim, STAGE if parallel else stage_col, out_col))
+        layout[name] = (out_col, out_dim)
+        stage_col += out_dim
+        out_col += out_dim
+
+    w1, w2, w3, w4 = (w.astype(compute_dtype) for w in (w1, w2, w3, w4))
+    return (w1, b1, w2, b2, w3, b3, w4, b4), chain, layout
+
+
+def _build_staging(feats_mean, cond0, init_position, chain_spec, block,
+                   compute_dtype):
+    M = feats_mean.shape[0]
+    P = cond0.shape[1]
+    pad_mid = INIT_COL - 32 - P - sum(d for _, d in chain_spec)
+    staging = jnp.concatenate(
+        [
+            feats_mean.astype(jnp.float32),
+            cond0.astype(jnp.float32),
+            jnp.zeros((M, pad_mid + sum(d for _, d in chain_spec)), jnp.float32),
+            init_position.astype(jnp.float32),
+            jnp.zeros((M, STAGE - INIT_COL - 3), jnp.float32),
+        ],
+        axis=1,
+    ).astype(compute_dtype)
+    Mpad = ((M + block - 1) // block) * block
+    if Mpad != M:
+        staging = jnp.pad(staging, ((0, Mpad - M), (0, 0)))
+    return staging, Mpad
+
+
 def decode_heads_pallas(
     head_params: Dict[str, Dict],      # name -> {'fc0'..'fc3': {'weight','bias'}}
     chain_spec: Sequence[Tuple[str, int]],  # ordered (name, out_dim)
@@ -162,55 +221,10 @@ def decode_heads_pallas(
     if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret
         interpret = jax.default_backend() == "cpu"
 
-    # -- packed weights ------------------------------------------------------
-    n_heads = len(chain_spec)
-    w1 = jnp.zeros((n_heads, STAGE, STAGE), jnp.float32)
-    b1 = jnp.zeros((n_heads, 1, STAGE), jnp.float32)
-    w2 = jnp.zeros((n_heads, STAGE, STAGE), jnp.float32)
-    b2 = jnp.zeros((n_heads, 1, STAGE), jnp.float32)
-    w3 = jnp.zeros((n_heads, STAGE, STAGE), jnp.float32)
-    b3 = jnp.zeros((n_heads, 1, STAGE), jnp.float32)
-    w4 = jnp.zeros((n_heads, STAGE, OUT_W), jnp.float32)
-    b4 = jnp.zeros((n_heads, 1, OUT_W), jnp.float32)
-
-    chain = []
-    stage_col = 32 + P
-    out_col = 0
-    for h, (name, out_dim) in enumerate(chain_spec):
-        hp = head_params[name]
-        tw1 = hp["fc0"]["weight"].T  # (n_in, 128)
-        n_in = tw1.shape[0]
-        w1 = w1.at[h, :n_in, :].set(tw1)
-        b1 = b1.at[h, 0].set(hp["fc0"]["bias"])
-        w2 = w2.at[h].set(hp["fc1"]["weight"].T)
-        b2 = b2.at[h, 0].set(hp["fc1"]["bias"])
-        w3 = w3.at[h].set(hp["fc2"]["weight"].T)
-        b3 = b3.at[h, 0].set(hp["fc2"]["bias"])
-        w4 = w4.at[h, :, :out_dim].set(hp["fc3"]["weight"].T)
-        b4 = b4.at[h, 0, :out_dim].set(hp["fc3"]["bias"])
-        # parallel decoder: chain outputs stay OUT of the staging prefix
-        chain.append((name, out_dim, STAGE if parallel else stage_col, out_col))
-        stage_col += out_dim
-        out_col += out_dim
-
-    w1, w2, w3, w4 = (w.astype(compute_dtype) for w in (w1, w2, w3, w4))
-
-    # -- staging -------------------------------------------------------------
-    pad_mid = INIT_COL - 32 - P - sum(d for _, d in chain_spec)
-    staging = jnp.concatenate(
-        [
-            feats_mean.astype(jnp.float32),
-            cond0.astype(jnp.float32),
-            jnp.zeros((M, pad_mid + sum(d for _, d in chain_spec)), jnp.float32),
-            init_position.astype(jnp.float32),
-            jnp.zeros((M, STAGE - INIT_COL - 3), jnp.float32),
-        ],
-        axis=1,
-    ).astype(compute_dtype)
-
-    Mpad = ((M + block - 1) // block) * block
-    if Mpad != M:
-        staging = jnp.pad(staging, ((0, Mpad - M), (0, 0)))
+    (w1, b1, w2, b2, w3, b3, w4, b4), chain, _layout = _pack_chain(
+        head_params, chain_spec, P, parallel, compute_dtype)
+    staging, Mpad = _build_staging(
+        feats_mean, cond0, init_position, chain_spec, block, compute_dtype)
 
     out = pl.pallas_call(
         functools.partial(
@@ -233,12 +247,7 @@ def decode_heads_pallas(
     if return_packed:
         # (Mpad, 16) packed output + column layout — the render fast path
         # transposes this ONCE and never touches (N, small-k) arrays
-        layout = {}
-        off = 0
-        for name, out_dim in chain_spec:
-            layout[name] = (off, out_dim)
-            off += out_dim
-        return out, layout
+        return out, dict(_layout)
 
     result = {}
     off = 0
@@ -246,3 +255,180 @@ def decode_heads_pallas(
         result[name] = out[:M, off:off + out_dim]
         off += out_dim
     return result
+
+
+# ---------------------------------------------------------------------------
+# v2: heads chain + EWA projection fused, channel-major output
+# ---------------------------------------------------------------------------
+
+# output row layout of decode_project_pallas: rows [0:16) = raw packed head
+# outputs (same column order as decode_heads_pallas); then projection rows
+PROJ_ROWS = {
+    "px": 16, "py": 17, "conic_a": 18, "conic_b": 19, "conic_c": 20,
+    "opac": 21, "col_r": 22, "col_g": 23, "col_b": 24,
+    "depth": 25, "radius_f": 26, "visible": 27,
+}
+NROWS = 32
+
+
+class _KernelCam:
+    """Duck-typed stand-in for gaussians.cameras.Camera inside the kernel:
+    project_channels only touches these six attributes, and its math is
+    shape-generic, so the (1, BLK) row vectors flow through unchanged."""
+
+    def __init__(self, wv, pj, tanx, tany, w, h):
+        self.world_view_transform = wv
+        self.full_proj_transform = pj
+        self.tanfovx = tanx
+        self.tanfovy = tany
+        self.image_width = w
+        self.image_height = h
+
+
+def _heads_project_kernel(
+    stage_in,    # (BLK, 128) staging input
+    w1, b1, w2, b2, w3, b3, w4, b4,   # packed weights (5, ...)
+    wv_ref,      # (4, 4) world_view_transform (row-vector convention)
+    pj_ref,      # (4, 4) full_proj_transform
+    consts_ref,  # (1, 8): tanfovx, tanfovy, n_points, sh_c0, pad...
+    out_ref,     # (NROWS, BLK) channel-major
+    x_ref,       # scratch (BLK, 128) staging copy
+    o16_ref,     # scratch (BLK, 16) f32 raw outputs
+    *,
+    chain, scale_offset, compute_dtype, gelu,
+    image_w: int, image_h: int, block: int,
+    layout,      # name -> (col, dim) in the 16 raw columns
+):
+    from ..splat.projection import project_channels
+
+    x_ref[:] = stage_in[:]
+    init = stage_in[:, INIT_COL:INIT_COL + 3].astype(jnp.float32)
+
+    for h, (name, out_dim, stage_col, out_col) in enumerate(chain):
+        x = x_ref[:].astype(compute_dtype)
+        a = jnp.dot(x, w1[h], preferred_element_type=jnp.float32) + b1[h].astype(jnp.float32)
+        a = gelu(a).astype(compute_dtype)
+        a = jnp.dot(a, w2[h], preferred_element_type=jnp.float32) + b2[h].astype(jnp.float32)
+        a = gelu(a).astype(compute_dtype)
+        a = jnp.dot(a, w3[h], preferred_element_type=jnp.float32) + b3[h].astype(jnp.float32)
+        a = gelu(a).astype(compute_dtype)
+        o = jnp.dot(a, w4[h], preferred_element_type=jnp.float32) + b4[h].astype(jnp.float32)
+        if name == "scale":
+            o = -jax.nn.softplus(o + 5.0) + scale_offset
+        elif name == "xyz":
+            o = o * 0.01
+            col = jax.lax.broadcasted_iota(jnp.int32, o.shape, 1)
+            init_w = jnp.concatenate(
+                [init, jnp.zeros((init.shape[0], o.shape[1] - 3), jnp.float32)],
+                axis=1,
+            )
+            o = o + jnp.where(col < 3, init_w, 0.0)
+        t = o.astype(stage_in.dtype)
+        if stage_col + out_dim <= STAGE:
+            x_ref[:, stage_col:stage_col + out_dim] = t[:, :out_dim]
+        o16_ref[:, out_col:out_col + out_dim] = o[:, :out_dim]
+
+    # ONE in-VMEM transpose -> every per-point quantity becomes a clean
+    # (1, BLK) lane-vector; EWA projection runs here instead of as an XLA
+    # stage over lane-padded HBM arrays
+    oT = jnp.transpose(o16_ref[:])            # (16, BLK)
+    out_ref[0:16, :] = oT
+
+    def row(c):
+        return oT[c:c + 1, :]
+
+    x0, _ = layout["xyz"]
+    r0, _ = layout["rotation"]
+    s0, _ = layout["scale"]
+    c0, _ = layout["color"]
+    op0, _ = layout["opacity"]
+
+    cam = _KernelCam(wv_ref, pj_ref, consts_ref[0, 0], consts_ref[0, 1],
+                     image_w, image_h)
+    ch = project_channels(
+        cam, row(x0), row(x0 + 1), row(x0 + 2),
+        (row(r0), row(r0 + 1), row(r0 + 2), row(r0 + 3)),
+        (jnp.exp(row(s0)), jnp.exp(row(s0 + 1)), jnp.exp(row(s0 + 2))),
+    )
+    i = pl.program_id(0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1) + i * block
+    n_points = consts_ref[0, 2].astype(jnp.int32)
+    visible = ch["visible"] & (gcol < n_points)
+
+    sh_c0 = consts_ref[0, 3]
+    out_ref[PROJ_ROWS["px"], :] = ch["px"][0]
+    out_ref[PROJ_ROWS["py"], :] = ch["py"][0]
+    out_ref[PROJ_ROWS["conic_a"], :] = ch["conic_a"][0]
+    out_ref[PROJ_ROWS["conic_b"], :] = ch["conic_b"][0]
+    out_ref[PROJ_ROWS["conic_c"], :] = ch["conic_c"][0]
+    out_ref[PROJ_ROWS["opac"], :] = jax.nn.sigmoid(row(op0))[0]
+    for k in range(3):
+        out_ref[PROJ_ROWS["col_r"] + k, :] = jnp.maximum(
+            sh_c0 * row(c0 + k) + 0.5, 0.0)[0]
+    out_ref[PROJ_ROWS["depth"], :] = ch["depth"][0]
+    out_ref[PROJ_ROWS["radius_f"], :] = ch["radius_f"][0]
+    out_ref[PROJ_ROWS["visible"], :] = jnp.where(visible, 1.0, 0.0)[0]
+    for r in range(max(PROJ_ROWS.values()) + 1, NROWS):
+        out_ref[r, :] = jnp.zeros((block,), jnp.float32)
+
+
+def decode_project_pallas(
+    head_params, chain_spec, feats_mean, cond0, init_position, scale_offset,
+    cam,                         # gaussians.cameras.Camera
+    n_points: int,
+    parallel: bool = False,
+    compute_dtype=jnp.float32,
+    block: int = 1024,
+    interpret: bool | None = None,
+    gelu: str = "exact",
+):
+    """Fused heads + projection -> (rows (NROWS, Mpad) f32, layout).
+
+    rows[0:16] are the raw packed head outputs TRANSPOSED (channel-major);
+    rows[16:28] are the screen-space quantities the rasterizer's binning
+    consumes (see PROJ_ROWS). Compared to decode_heads_pallas + an XLA
+    projection stage this removes the lane-padded (Mpad, 16) HBM array,
+    its 256 MB transpose, and the projection stage's HBM round trips."""
+    M, F = feats_mean.shape
+    P = cond0.shape[1]
+    assert F == 32 and 32 + P + sum(d for _, d in chain_spec) <= INIT_COL
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    weights, chain, layout = _pack_chain(
+        head_params, chain_spec, P, parallel, compute_dtype)
+    staging, Mpad = _build_staging(
+        feats_mean, cond0, init_position, chain_spec, block, compute_dtype)
+
+    wv = cam.world_view_transform.astype(jnp.float32)
+    pj = cam.full_proj_transform.astype(jnp.float32)
+    consts = jnp.stack([
+        jnp.asarray(cam.tanfovx, jnp.float32),
+        jnp.asarray(cam.tanfovy, jnp.float32),
+        jnp.asarray(n_points, jnp.float32),
+        jnp.asarray(0.28209479177387814, jnp.float32),
+    ]).reshape(1, 4)
+    consts = jnp.pad(consts, ((0, 0), (0, 4)))
+
+    rows = pl.pallas_call(
+        functools.partial(
+            _heads_project_kernel,
+            chain=tuple(chain), scale_offset=scale_offset,
+            compute_dtype=compute_dtype, gelu=_GELUS[gelu],
+            image_w=cam.image_width, image_h=cam.image_height,
+            block=block, layout=layout,
+        ),
+        grid=(Mpad // block,),
+        in_specs=[
+            pl.BlockSpec((block, STAGE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec(
+            (NROWS, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NROWS, Mpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block, STAGE), compute_dtype),
+            pltpu.VMEM((block, OUT_W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(staging, *weights, wv, pj, consts)
+    return rows, layout

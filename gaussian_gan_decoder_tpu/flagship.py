@@ -88,19 +88,20 @@ def decode_and_render(
     cam = make_camera(image_size, jnp.asarray(fov), cam2world)
     cfg = raster_cfg or flagship_raster_config()
     if backend == "pallas" and decoder.pallas_heads:
-        # packed channel-major hot path: no (N, small-k) arrays anywhere
-        from .splat.fast_raster import render_packed
+        # fused decoder+projection kernel -> channel-major rows; the
+        # rasterizer only bins and blends (splat/fast_raster.render_rows)
+        from .splat.fast_raster import render_rows
         from .utils import EasyDict
 
-        out16, layout = decoder.apply_packed(
-            params, z, camera_params, init_position, truncation_psi)
-        out = render_packed(
-            cam, out16, layout, init_position.shape[0],
+        rows, layout = decoder.apply_project(
+            params, z, camera_params, init_position, cam, truncation_psi)
+        out = render_rows(
+            cam, rows, layout, init_position.shape[0],
             bg=jnp.asarray(bg, jnp.float32), config=cfg,
         )
         M = init_position.shape[0]
         decoded = EasyDict({
-            name: out16[:M, c:c + d] for name, (c, d) in layout.items()
+            name: rows[c:c + d, :M].T for name, (c, d) in layout.items()
         })
         return out["render"][:3], decoded
     decoded = decoder.apply(params, z, camera_params, init_position, truncation_psi)

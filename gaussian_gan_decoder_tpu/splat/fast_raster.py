@@ -303,3 +303,47 @@ def rasterize_fast(
         "visibility_filter": ch["visible"],
         "n_dropped": n_dropped,
     }
+
+
+def render_rows(
+    cam: Camera,
+    rows: jax.Array,           # (NROWS, Mpad) decode_project_pallas output
+    layout: Dict[str, tuple],  # name -> (col, dim) inside rows[0:16]
+    n_points: int,
+    bg: jax.Array,
+    config: RasterizeConfig = RasterizeConfig(),
+    interpret: bool | None = None,
+) -> Dict[str, jax.Array]:
+    """Flagship hot path v2: fused decoder+projection rows -> frame.
+
+    The kernel already emitted every per-gaussian quantity channel-major
+    (decoder/pallas_heads.py PROJ_ROWS) — this is just binning + blend."""
+    from ..decoder.pallas_heads import PROJ_ROWS
+
+    H, W = cam.image_height, cam.image_width
+    ts = config.tile_size
+    grid_x, grid_y = W // ts, H // ts
+
+    r = {k: rows[v] for k, v in PROJ_ROWS.items()}
+    ch = dict(
+        px=r["px"], py=r["py"], depth=r["depth"],
+        radius_f=r["radius_f"], visible=r["visible"] > 0.5,
+    )
+    fields = [r["px"], r["py"], r["conic_a"], r["conic_b"], r["conic_c"],
+              r["opac"], r["col_r"], r["col_g"], r["col_b"]]
+    # materialize once — see render_packed note on producer re-fusion
+    ch, fields = jax.lax.optimization_barrier((ch, fields))
+    tile_starts, attrs_t, n_dropped = bin_pairs_lexsort_ch(
+        ch, fields, grid_x, grid_y, ts,
+        config.static_copies, config.overflow_budget,
+    )
+    img, alpha_img = _blend_and_assemble(
+        tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret
+    )
+    return {
+        "render": jnp.transpose(img, (2, 0, 1)),
+        "alpha": alpha_img[None],
+        "radii": r["radius_f"][:n_points].astype(jnp.int32),
+        "visibility_filter": (r["visible"] > 0.5)[:n_points],
+        "n_dropped": n_dropped,
+    }

@@ -72,3 +72,68 @@ def test_decoder_pallas_flag_routes():
     )
     for name in ref:
         assert jnp.allclose(out[name], ref[name], atol=1e-4), name
+
+
+def test_decode_project_matches_heads_plus_projection():
+    """Fused heads+projection kernel == decode_heads_pallas followed by the
+    XLA project_channels stage + sigmoid/SH0 transforms (v2 hot path)."""
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.decoder.pallas_heads import (
+        PROJ_ROWS, decode_project_pallas)
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.gaussians.sh import SH_C0
+    from gaussian_gan_decoder_tpu.splat.projection import project_channels
+
+    gen = flagship_generator()
+    dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed")
+    params = dec.init(jax.random.PRNGKey(0))
+    M = 257
+    feats = jax.random.normal(jax.random.PRNGKey(1), (3, M, 32), jnp.float32)
+    pos = jax.random.normal(jax.random.PRNGKey(2), (M, 3), jnp.float32) * 0.2
+    _, c2w = default_camera_params()
+    cam = make_camera(64, jnp.asarray(0.227), c2w)
+    chain = _CHAINS["sequential_reversed"]
+    hp = {name: params[name] for name, _ in chain}
+    fm = jnp.mean(feats, axis=0)
+
+    rows, layout = decode_project_pallas(
+        hp, chain, fm, pos, pos, dec.scale_offset, cam=cam, n_points=M,
+        compute_dtype=jnp.float32, block=128, interpret=True)
+
+    out16, layout2 = decode_heads_pallas(
+        hp, chain, fm, pos, pos, dec.scale_offset,
+        compute_dtype=jnp.float32, block=128, interpret=True,
+        return_packed=True)
+    assert layout == layout2
+    o = out16.T
+    x0, _ = layout["xyz"]
+    r0, _ = layout["rotation"]
+    s0, _ = layout["scale"]
+    c0, _ = layout["color"]
+    op0, _ = layout["opacity"]
+    ch = project_channels(
+        cam, o[x0], o[x0 + 1], o[x0 + 2],
+        (o[r0], o[r0 + 1], o[r0 + 2], o[r0 + 3]),
+        (jnp.exp(o[s0]), jnp.exp(o[s0 + 1]), jnp.exp(o[s0 + 2])),
+    )
+    valid = jnp.arange(o.shape[1]) < M
+    expect = {
+        "px": ch["px"], "py": ch["py"], "conic_a": ch["conic_a"],
+        "conic_b": ch["conic_b"], "conic_c": ch["conic_c"],
+        "opac": jax.nn.sigmoid(o[op0]),
+        "col_r": jnp.maximum(SH_C0 * o[c0] + 0.5, 0.0),
+        "col_g": jnp.maximum(SH_C0 * o[c0 + 1] + 0.5, 0.0),
+        "col_b": jnp.maximum(SH_C0 * o[c0 + 2] + 0.5, 0.0),
+        "depth": ch["depth"], "radius_f": ch["radius_f"],
+        "visible": (ch["visible"] & valid).astype(jnp.float32),
+    }
+    np.testing.assert_allclose(np.asarray(rows[:16]), np.asarray(o),
+                               atol=1e-5)
+    for name, r in PROJ_ROWS.items():
+        got = np.asarray(rows[r])
+        want = np.asarray(expect[name])
+        # masked-out lanes may differ in dependent quantities; compare where
+        # either is visible-consistent
+        np.testing.assert_allclose(got, want, atol=1e-4, err_msg=name)
