@@ -20,10 +20,12 @@ from .splat.rasterize import RasterizeConfig, render_simple
 
 
 def flagship_generator(variant: str = "panohead", img_resolution: int = 512) -> TriPlaneGenerator:
+    # num_fp16_res=4 mirrors the reference deployment (bf16 blocks at the
+    # top 4 resolutions; plane features already consumed as bf16 bricks)
     return TriPlaneGenerator(
         z_dim=512, c_dim=25, w_dim=512,
         img_resolution=img_resolution, img_channels=3,
-        variant=variant,
+        variant=variant, num_fp16_res=4, sr_num_fp16_res=4,
     )
 
 
@@ -54,7 +56,7 @@ def flagship_raster_config() -> RasterizeConfig:
     # areas are almost always 1-2 tiles: 2 structural copies + overflow lane
     return RasterizeConfig(
         tile_size=16, max_pairs=2 ** 21, tile_capacity=1024, chunk=64,
-        static_copies=2, overflow_budget=2 ** 16,
+        static_copies=2, overflow_budget=2 ** 16, bf16_colors=True,
     )
 
 

@@ -119,29 +119,52 @@ def build_pairs_ch(
     return tile_key, qd, fields_rep, n_dropped
 
 
+def _bf16_pack_pair(a, b):
+    """Two f32 vectors -> one f32-bitcast word of (bf16(a) | bf16(b)):
+    a in the high 16 bits, b in the low. Round-half-up via +0x8000."""
+    def bits(v):
+        return (jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
+                + 0x8000)
+    hi = bits(a) & jnp.int32(-65536)
+    lo = (bits(b) >> 16) & jnp.int32(0xFFFF)
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+
+
 def bin_pairs_lexsort_ch(
     ch: Dict[str, jax.Array],          # project_channels output
     fields,                            # 9 (N,) payload channels (blend ROW order)
     grid_x: int, grid_y: int, tile_size: int,
     static_copies: int = 4, overflow_budget: int = 2 ** 17,
+    bf16_colors: bool = False,
 ):
-    """-> (tile_starts (T+2,), sorted_attrs (ROW, Ptot), n_dropped)."""
+    """-> (tile_starts (T+2,), sorted_attrs (n_rows, Ptot), n_dropped).
+
+    n_rows = ROW (9 live f32 fields) or 8 when bf16_colors packs (r,g)
+    and (b,opacity) into bf16 pairs — 7 sort payloads instead of 9."""
     T = grid_x * grid_y
     tile_key, qd, fields_rep, n_dropped = build_pairs_ch(
         ch, fields, grid_x, grid_y, tile_size, static_copies, overflow_budget
     )
+    if bf16_colors:
+        fields_rep = fields_rep[:5] + [
+            _bf16_pack_pair(fields_rep[6], fields_rep[7]),   # r | g
+            _bf16_pack_pair(fields_rep[8], fields_rep[5]),   # b | opacity
+        ]
+        n_rows = 8
+    else:
+        n_rows = ROW
 
-    # -- one lexicographic sort: (tile, depth-bits) + the 9 live payloads -----
+    # -- one lexicographic sort: (tile, depth-bits) + the live payloads -------
     sorted_ops = jax.lax.sort([tile_key, qd] + fields_rep, num_keys=2)
     sorted_tile = sorted_ops[0]
     # field-major directly (the blend kernel's DMA layout) — no transpose;
-    # dead ROW padding appended post-sort
+    # dead row padding appended post-sort
     ptot = sorted_tile.shape[0]
     sorted_attrs_t = jnp.concatenate(
         [jnp.stack(sorted_ops[2:], axis=0),
-         jnp.zeros((ROW - len(fields), ptot), jnp.float32)],
+         jnp.zeros((n_rows - len(fields_rep), ptot), jnp.float32)],
         axis=0,
-    )  # (ROW, Ptot)
+    )  # (n_rows, Ptot)
 
     tile_starts = jnp.searchsorted(
         sorted_tile, jnp.arange(T + 1, dtype=jnp.int32)
@@ -153,11 +176,12 @@ def _blend_and_assemble(tile_starts, attrs_t, grid_x, grid_y, ts, bg, config,
                         interpret=None):
     slack = config.tile_capacity + CHUNK
     attrs_t = jnp.concatenate(
-        [attrs_t, jnp.zeros((ROW, slack), jnp.float32)], axis=1
+        [attrs_t, jnp.zeros((attrs_t.shape[0], slack), jnp.float32)], axis=1
     )
     accum, trans = pallas_blend(
         tile_starts, attrs_t, grid_x, grid_y, ts,
         max_k=config.tile_capacity, interpret=interpret,
+        packed_colors=config.bf16_colors,
     )
     H, W = grid_y * ts, grid_x * ts
     img = accum + trans[:, :, None] * bg[None, None, :]
@@ -217,6 +241,7 @@ def render_packed(
     tile_starts, attrs_t, n_dropped = bin_pairs_lexsort_ch(
         ch, fields, grid_x, grid_y, ts,
         config.static_copies, config.overflow_budget,
+        bf16_colors=config.bf16_colors,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret
@@ -292,6 +317,7 @@ def rasterize_fast(
         ch, fields, grid_x, grid_y, ts,
         static_copies if static_copies is not None else config.static_copies,
         overflow_budget if overflow_budget is not None else config.overflow_budget,
+        bf16_colors=config.bf16_colors,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret
@@ -336,6 +362,7 @@ def render_rows(
     tile_starts, attrs_t, n_dropped = bin_pairs_lexsort_ch(
         ch, fields, grid_x, grid_y, ts,
         config.static_copies, config.overflow_budget,
+        bf16_colors=config.bf16_colors,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret

@@ -53,16 +53,17 @@ def _blend_kernel(
     # scalar prefetch
     start_ref,      # (T+1,) int32 segment starts (pairs lexsorted by tile)
     # inputs
-    attrs_hbm,      # (ROW, Ppad) f32 field-major in ANY/HBM
+    attrs_hbm,      # (n_rows, Ppad) f32 field-major in ANY/HBM
     # outputs
     out_ref,        # (1, 256, 4) f32: rgb accum + transmittance
     # scratch
-    buf,            # (2, ROW, CHUNK) VMEM
+    buf,            # (2, n_rows, CHUNK) VMEM
     sem,            # (2,) DMA semaphores
     *,
     grid_x: int,
     tile_size: int,
     max_k: int,
+    packed_colors: bool,
 ):
     t = pl.program_id(0)
     P = tile_size * tile_size
@@ -112,8 +113,23 @@ def _blend_kernel(
         ca = rows[2:3, :]
         cb = rows[3:4, :]
         cc = rows[4:5, :]
-        op = rows[5:6, :]
-        col = rows[6:9, :]                     # (3, CHUNK)
+        if packed_colors:
+            # rows 5,6 carry bf16 pairs in f32-bitcast int32 words:
+            # row5 = r|g, row6 = b|opacity (hi|lo 16 bits). A bf16 value
+            # IS its f32 pattern with the low mantissa zeroed, so unpack
+            # = mask / shift + bitcast — no conversions.
+            w5 = jax.lax.bitcast_convert_type(rows[5:6, :], jnp.int32)
+            w6 = jax.lax.bitcast_convert_type(rows[6:7, :], jnp.int32)
+            f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
+            hi_mask = jnp.int32(-65536)        # 0xFFFF0000
+            r_ = f(w5 & hi_mask)
+            g_ = f(w5 << 16)
+            b_ = f(w6 & hi_mask)
+            op = f(w6 << 16)
+            col = jnp.concatenate([r_, g_, b_], axis=0)
+        else:
+            op = rows[5:6, :]
+            col = rows[6:9, :]                 # (3, CHUNK)
 
         dx = pixx - gx                         # (P, CHUNK) — sign-symmetric
         dy = pixy - gy
@@ -154,21 +170,24 @@ def _blend_kernel(
 
 def pallas_blend(
     tile_starts: jax.Array,   # (T+1,) int32
-    pair_attrs_t: jax.Array,  # (ROW, Ppad) f32 field-major
+    pair_attrs_t: jax.Array,  # (n_rows, Ppad) f32 field-major
     grid_x: int,
     grid_y: int,
     tile_size: int = 16,
     max_k: int = 4096,
     interpret: bool | None = None,
+    packed_colors: bool = False,
 ):
     """-> (accum (T, 256, 3), trans (T, 256))."""
     if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret
         interpret = jax.default_backend() == "cpu"
+    n_rows = pair_attrs_t.shape[0]
     T = grid_x * grid_y
     P = tile_size * tile_size
     out = pl.pallas_call(
         functools.partial(
-            _blend_kernel, grid_x=grid_x, tile_size=tile_size, max_k=max_k
+            _blend_kernel, grid_x=grid_x, tile_size=tile_size, max_k=max_k,
+            packed_colors=packed_colors,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -178,7 +197,7 @@ def pallas_blend(
                 (1, P, 4), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, ROW, CHUNK), jnp.float32),
+                pltpu.VMEM((2, n_rows, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

@@ -79,27 +79,16 @@ def main():
                  jnp.zeros((fm.shape[0], 128 - 32 - cond.shape[1] - 3)),
                  init_pos.astype(jnp.float32)], axis=1).astype(jnp.bfloat16)
             return jnp.sum(staging[::4097, :].astype(jnp.float32))
-        out16, layout = dec.apply_packed(params, z, cp, init_pos, 1.0)
+        # v2 hot path: fused heads+projection kernel (matches flagship)
+        from gaussian_gan_decoder_tpu.decoder.pallas_heads import PROJ_ROWS
+        rows, layout = dec.apply_project(params, z, cp, init_pos, cam, 1.0)
         if stage == "decode":
-            return jnp.sum(out16[:8])
-        o = out16.T
-        s0, _ = layout["scale"]
-        r0, _ = layout["rotation"]
-        x0, _ = layout["xyz"]
-        ch = project_channels(
-            cam, o[x0], o[x0 + 1], o[x0 + 2],
-            (o[r0], o[r0 + 1], o[r0 + 2], o[r0 + 3]),
-            (jnp.exp(o[s0]), jnp.exp(o[s0 + 1]), jnp.exp(o[s0 + 2])),
-        )
-        ch["visible"] = ch["visible"] & (jnp.arange(o.shape[1]) < M)
-        if stage == "project":
-            return jnp.sum(ch["px"][:8]) + jnp.sum(ch["conic_a"][:8])
-        c0, _ = layout["color"]
-        op0, _ = layout["opacity"]
-        opac = jax.nn.sigmoid(o[op0])
-        cols = [jnp.maximum(SH_C0 * o[c0 + i] + 0.5, 0.0) for i in range(3)]
-        fields = [ch["px"], ch["py"], ch["conic_a"], ch["conic_b"],
-                  ch["conic_c"], opac] + cols
+            return jnp.sum(rows[:, :8])
+        r = {k: rows[v] for k, v in PROJ_ROWS.items()}
+        ch = dict(px=r["px"], py=r["py"], depth=r["depth"],
+                  radius_f=r["radius_f"], visible=r["visible"] > 0.5)
+        fields = [r["px"], r["py"], r["conic_a"], r["conic_b"], r["conic_c"],
+                  r["opac"], r["col_r"], r["col_g"], r["col_b"]]
         if "barrier" not in os.environ.get("PROF_NO_BARRIER", ""):
             ch, fields = jax.lax.optimization_barrier((ch, fields))
         if stage == "fields":
@@ -149,7 +138,8 @@ def main():
                     + jnp.sum(qd[::4097].astype(jnp.float32))
                     + sum(jnp.sum(f[::4097]) for f in fields_rep))
         tile_starts, attrs_t, nd = bin_pairs_lexsort_ch(
-            ch, fields, gx, gy, ts, rcfg.static_copies, rcfg.overflow_budget)
+            ch, fields, gx, gy, ts, rcfg.static_copies, rcfg.overflow_budget,
+            bf16_colors=rcfg.bf16_colors)
         if stage == "bin":
             return jnp.sum(tile_starts[:8].astype(jnp.float32)) + attrs_t[0, 0]
         if stage == "bin_all":
@@ -159,16 +149,18 @@ def main():
             return (jnp.sum(tile_starts[:8].astype(jnp.float32))
                     + jnp.sum(attrs_t[:, ::4097]))
         slack = rcfg.tile_capacity + CHUNK
-        attrs_t = jnp.concatenate([attrs_t, jnp.zeros((ROW, slack), jnp.float32)], axis=1)
+        attrs_t = jnp.concatenate(
+            [attrs_t, jnp.zeros((attrs_t.shape[0], slack), jnp.float32)], axis=1)
         accum, trans = pallas_blend(tile_starts, attrs_t, gx, gy, ts,
-                                    max_k=rcfg.tile_capacity)
+                                    max_k=rcfg.tile_capacity,
+                                    packed_colors=rcfg.bf16_colors)
         img = accum + trans[:, :, None] * bg[None, None, :]
         return jnp.sum(img[:4])
 
     prev = 0.0
     stages = os.environ.get(
         "PROF_STAGES",
-        "decode,project,fields,pairs,bin,bin_all,full").split(",")
+        "decode,fields,pairs,bin,bin_all,full").split(",")
     for stage in stages:
         @jax.jit
         def stream(params, zs, stage=stage):
