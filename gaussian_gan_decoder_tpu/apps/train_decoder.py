@@ -86,6 +86,10 @@ def build_argparser():
     p.add_argument("--vgg_weights", default="", help="state dict for VGG16 LPIPS")
     p.add_argument("--batch_views", type=int, default=0,
                    help=">0: DP view batch over the device mesh")
+    p.add_argument("--raster_backend", default="xla",
+                   choices=["xla", "pallas_diff"],
+                   help="pallas_diff: custom-VJP Pallas blend (TPU, ~2.8x "
+                        "faster rasterizer fwd+bwd)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny generator + tiny shapes (CI / CPU smoke run)")
     p.add_argument("--force_cpu", action="store_true")
@@ -158,6 +162,7 @@ def main(argv=None):
         image_size=args.image_size,
         apply_mask_to_rendering=args.apply_mask_to_rendering,
         bg_color=bg,
+        raster_backend=args.raster_backend,
     )
     tcfg = TargetSamplerConfig(
         truncation=args.truncation, init_truncation=args.init_truncation,

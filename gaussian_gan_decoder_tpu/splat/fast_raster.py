@@ -173,16 +173,25 @@ def bin_pairs_lexsort_ch(
 
 
 def _blend_and_assemble(tile_starts, attrs_t, grid_x, grid_y, ts, bg, config,
-                        interpret=None):
+                        interpret=None, differentiable=False):
     slack = config.tile_capacity + CHUNK
     attrs_t = jnp.concatenate(
         [attrs_t, jnp.zeros((attrs_t.shape[0], slack), jnp.float32)], axis=1
     )
-    accum, trans = pallas_blend(
-        tile_starts, attrs_t, grid_x, grid_y, ts,
-        max_k=config.tile_capacity, interpret=interpret,
-        packed_colors=config.bf16_colors,
-    )
+    if differentiable:
+        from .pallas_blend import pallas_blend_diff
+
+        assert not config.bf16_colors, "bf16-packed payloads are fwd-only"
+        accum, trans = pallas_blend_diff(
+            tile_starts, attrs_t, grid_x, grid_y, ts,
+            config.tile_capacity, interpret,
+        )
+    else:
+        accum, trans = pallas_blend(
+            tile_starts, attrs_t, grid_x, grid_y, ts,
+            max_k=config.tile_capacity, interpret=interpret,
+            packed_colors=config.bf16_colors,
+        )
     H, W = grid_y * ts, grid_x * ts
     img = accum + trans[:, :, None] * bg[None, None, :]
     img = img.reshape(grid_y, grid_x, ts, ts, 3)
@@ -287,9 +296,13 @@ def rasterize_fast(
     static_copies: Optional[int] = None,
     overflow_budget: Optional[int] = None,
     interpret: bool | None = None,
+    differentiable: bool = False,
 ) -> Dict[str, jax.Array]:
-    """Forward-only fast rasterizer (Pallas blend). Same outputs as
-    rasterize(); use rasterize() for the differentiable training path."""
+    """Fast tiled rasterizer (Pallas blend). Same outputs as rasterize().
+
+    differentiable=True swaps in the custom-VJP blend (pallas_blend_diff,
+    the CUDA backward analogue) — gradients flow to every input through
+    the binning sort; requires bf16_colors off."""
     H, W = cam.image_height, cam.image_width
     ts = config.tile_size
     grid_x, grid_y = W // ts, H // ts
@@ -320,7 +333,8 @@ def rasterize_fast(
         bf16_colors=config.bf16_colors,
     )
     img, alpha_img = _blend_and_assemble(
-        tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret
+        tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret,
+        differentiable=differentiable,
     )
     return {
         "render": jnp.transpose(img, (2, 0, 1)),

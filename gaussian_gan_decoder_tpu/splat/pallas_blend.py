@@ -54,17 +54,20 @@ def _blend_kernel(
     start_ref,      # (T+1,) int32 segment starts (pairs lexsorted by tile)
     # inputs
     attrs_hbm,      # (n_rows, Ppad) f32 field-major in ANY/HBM
-    # outputs
+    # outputs (+ (1, MAXC, P) chunk-entry transmittances when save_entries)
     out_ref,        # (1, 256, 4) f32: rgb accum + transmittance
-    # scratch
-    buf,            # (2, n_rows, CHUNK) VMEM
-    sem,            # (2,) DMA semaphores
-    *,
+    *rest,          # [ent_ref,] buf, sem
     grid_x: int,
     tile_size: int,
     max_k: int,
     packed_colors: bool,
+    save_entries: bool = False,
+    maxc: int = 0,
 ):
+    if save_entries:
+        ent_ref, buf, sem = rest
+    else:
+        buf, sem = rest
     t = pl.program_id(0)
     P = tile_size * tile_size
     start = start_ref[t]
@@ -138,6 +141,16 @@ def _blend_kernel(
         alpha = jnp.where(
             (power > 0.0) | (alpha < (1.0 / 255.0)) | (~valid), 0.0, alpha
         )
+        if save_entries:
+            # training variant: CUDA's per-pixel T < 1e-4 stop as an alpha
+            # MASK (keeps the fixed-trip pipeline) — also what makes the
+            # backward's transmittance replay numerically safe (T never
+            # underflows), at the cost of one extra cumprod pass
+            ent_ref[0, ci, :] = trans[:, 0]
+            cp0 = _cumprod_lanes(1.0 - alpha)
+            t_before = trans * jnp.concatenate(
+                [jnp.ones_like(cp0[:, :1]), cp0[:, :-1]], axis=1)
+            alpha = jnp.where(t_before < 1e-4, 0.0, alpha)
 
         one_minus = 1.0 - alpha                # (P, CHUNK)
         cp = _cumprod_lanes(one_minus)
@@ -160,6 +173,13 @@ def _blend_kernel(
     # badly (measured identically +27 ms). The unconditional fixed-trip
     # loop is the fast form; saturation work-skip must come from capping
     # max_k / tile_capacity instead.
+    if save_entries:
+        # unused chunk slots: entry transmittance 1 (never read by bwd)
+        for ci_static in range(maxc):
+            @pl.when(ci_static >= n_chunks)
+            def _(ci_static=ci_static):
+                ent_ref[0, ci_static, :] = jnp.ones((P,), jnp.float32)
+
     accum0 = jnp.zeros((P, 3), jnp.float32)
     trans0 = jnp.ones((P, 1), jnp.float32)
     accum, trans = jax.lax.fori_loop(0, n_chunks, body, (accum0, trans0))
@@ -205,3 +225,319 @@ def pallas_blend(
         interpret=interpret,
     )(tile_starts, pair_attrs_t)
     return out[:, :, :3], out[:, :, 3]
+
+
+# ---------------------------------------------------------------------------
+# backward: CUDA renderCUDA-style back-to-front replay (custom VJP)
+# ---------------------------------------------------------------------------
+
+def _cumsum_lanes(x):
+    """Inclusive cumsum along the minor (lane) axis (Hillis-Steele)."""
+    n = x.shape[-1]
+    d = 1
+    while d < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[..., :d]), x[..., :-d]], axis=-1
+        )
+        x = x + shifted
+        d *= 2
+    return x
+
+
+def _blend_bwd_kernel(
+    # scalar prefetch
+    start_ref,       # (T+1,) int32
+    # inputs
+    attrs_hbm,       # (n_rows, Ppad) f32 field-major in ANY/HBM
+    ent_in,          # (1, MAXC, P) block: fwd chunk-entry transmittances
+    dout,            # (1, P, 4) block: dL/daccum rgb + dL/dtrans
+    # outputs
+    dattrs_ref,      # (1, MAXC, n_rows, CHUNK) per-(tile, local chunk) grads
+    # scratch
+    buf,             # (2, n_rows, CHUNK) VMEM
+    sem,             # (2,) DMA semaphores
+    *,
+    grid_x: int,
+    tile_size: int,
+    max_k: int,
+    maxc: int,
+):
+    """Per tile: replay the sorted segment BACK-TO-FRONT. The forward saved
+    each chunk's entry transmittance, so every pair's pre-blend T_i is
+    t_entry[ci] * exclusive-cumprod within the chunk — no numerically
+    unstable division recovery (the CUDA backward divides by (1-a) per
+    pair, which underflows f32 on opaque chains; the mask the forward
+    applied at T < 1e-4 also bounds T here). Gradients land in the tile's
+    STATIC (MAXC, n_rows, CHUNK) block — aligned DMA windows of adjacent
+    tiles overlap on the sorted axis, so the XLA wrapper scatter-adds the
+    blocks back into (n_rows, Ppad) layout."""
+    t = pl.program_id(0)
+    P = tile_size * tile_size
+    start = start_ref[t]
+    end = start_ref[t + 1]
+    count = jnp.minimum(end - start, max_k)
+    astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    offset = start - astart
+    n_chunks = pl.cdiv(offset + count, jnp.int32(CHUNK))
+
+    tx = (t % grid_x) * tile_size
+    ty = (t // grid_x) * tile_size
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pixx = (tx + p_iota % tile_size).astype(jnp.float32)
+    pixy = (ty + p_iota // tile_size).astype(jnp.float32)
+
+    dC = dout[0, :, :3]                      # (P, 3)
+    dT = dout[0, :, 3:4]                     # (P, 1)
+
+    def dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(astart + chunk_idx * CHUNK, CHUNK)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma((n_chunks - 1) % 2, n_chunks - 1).start()
+
+    def alphas_of(rows, ci, t_entry):
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        gcol = cidx + ci * CHUNK
+        valid = (gcol >= offset) & (gcol < offset + count)
+        gx = rows[0:1, :]
+        gy = rows[1:2, :]
+        ca = rows[2:3, :]
+        cb = rows[3:4, :]
+        cc = rows[4:5, :]
+        op = rows[5:6, :]
+        col = rows[6:9, :]
+        dx = pixx - gx
+        dy = pixy - gy
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        raw = op * jnp.exp(power)
+        alpha0 = jnp.minimum(0.99, raw)
+        live = (power <= 0.0) & (alpha0 >= (1.0 / 255.0)) & valid
+        alpha0 = jnp.where(live, alpha0, 0.0)
+        # the fwd's T<1e-4 mask, reproduced exactly
+        cp0 = _cumprod_lanes(1.0 - alpha0)
+        t_before0 = t_entry * jnp.concatenate(
+            [jnp.ones_like(cp0[:, :1]), cp0[:, :-1]], axis=1)
+        masked = t_before0 < 1e-4
+        alpha = jnp.where(masked, 0.0, alpha0)
+        live = live & ~masked
+        return (alpha, live, raw, power, dx, dy, ca, cb, cc, col)
+
+    # t_final: for empty tiles 1; else ent[last chunk] * its masked
+    # cumprod — computed in the k=0 iteration (ci = last) before first use
+
+    def body(k, carry):
+        suffix, t_final = carry              # (P,3), (P,1)
+        ci = n_chunks - 1 - k
+        slot = ci % 2
+
+        @pl.when(ci - 1 >= 0)
+        def _():
+            dma((ci - 1) % 2, ci - 1).start()
+
+        dma(slot, ci).wait()
+        rows = buf[slot]
+        t_entry = ent_in[0, ci, :][:, None]   # (P, 1)
+        (alpha, live, raw, power, dx, dy, ca, cb, cc, col) = alphas_of(
+            rows, ci, t_entry)
+
+        one_minus = 1.0 - alpha
+        cp = _cumprod_lanes(one_minus)
+        t_within = jnp.concatenate(
+            [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
+        t_i = t_entry * t_within             # (P, CHUNK)
+
+        # k = 0: this IS the last chunk -> t_final = t_entry * cp[-1]
+        t_final = jnp.where(k == 0, t_entry * cp[:, -1:], t_final)
+
+        w = alpha * t_i
+        coldC = (dC[:, 0:1] * col[0:1, :] + dC[:, 1:2] * col[1:2, :]
+                 + dC[:, 2:3] * col[2:3, :])
+        wc = w * coldC
+        incl = _cumsum_lanes(wc)
+        s_within = incl[:, -1:] - incl       # strictly-after, within chunk
+        s_dC = (suffix[:, 0:1] * dC[:, 0:1] + suffix[:, 1:2] * dC[:, 1:2]
+                + suffix[:, 2:3] * dC[:, 2:3])
+        s_i = s_within + s_dC                # (P, CHUNK)
+
+        inv1m = 1.0 / jnp.maximum(one_minus, 1e-12)
+        dalpha = t_i * coldC - s_i * inv1m - (t_final * dT) * inv1m
+        grad_live = live & (raw < 0.99)
+        dalpha = jnp.where(grad_live, dalpha, 0.0)
+
+        dpow = dalpha * alpha
+        ones_row = jnp.ones((1, P), jnp.float32)
+
+        def psum(x):                         # (P, CHUNK) -> (1, CHUNK)
+            return jax.lax.dot_general(
+                ones_row, x, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        d_gx = psum((ca * dx + cb * dy) * dpow)
+        d_gy = psum((cc * dy + cb * dx) * dpow)
+        d_ca = psum(-0.5 * dx * dx * dpow)
+        d_cb = psum(-dx * dy * dpow)
+        d_cc = psum(-0.5 * dy * dy * dpow)
+        d_op = psum(jnp.where(grad_live, dalpha * jnp.exp(power), 0.0))
+        d_r = psum(w * dC[:, 0:1])
+        d_g = psum(w * dC[:, 1:2])
+        d_b = psum(w * dC[:, 2:3])
+
+        z = jnp.zeros((1, CHUNK), jnp.float32)
+        pad_rows = [z] * (buf.shape[1] - 9)
+        dattrs_ref[0, ci, :, :] = jnp.concatenate(
+            [d_gx, d_gy, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b] + pad_rows,
+            axis=0)
+
+        suffix_new = suffix + jnp.concatenate(
+            [jnp.sum(w * col[c:c + 1, :], axis=1, keepdims=True)
+             for c in range(3)], axis=1)
+        return suffix_new, t_final
+
+    # zero untouched chunk blocks (tiles with fewer chunks)
+    for ci_static in range(maxc):
+        @pl.when(ci_static >= n_chunks)
+        def _(ci_static=ci_static):
+            dattrs_ref[0, ci_static, :, :] = jnp.zeros(
+                (buf.shape[1], CHUNK), jnp.float32)
+
+    s0 = jnp.zeros((P, 3), jnp.float32)
+    t0 = jnp.ones((P, 1), jnp.float32)
+    jax.lax.fori_loop(0, n_chunks, body, (s0, t0))
+
+
+def _blend_train_fwd(tile_starts, pair_attrs_t, grid_x, grid_y, tile_size,
+                     max_k, interpret):
+    """Forward with chunk-entry transmittance residuals (training path)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_rows = pair_attrs_t.shape[0]
+    T = grid_x * grid_y
+    P = tile_size * tile_size
+    maxc = (max_k + CHUNK) // CHUNK + 1
+    out, ent = pl.pallas_call(
+        functools.partial(
+            _blend_kernel, grid_x=grid_x, tile_size=tile_size, max_k=max_k,
+            packed_colors=False, save_entries=True, maxc=maxc,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[
+                pl.BlockSpec((1, P, 4), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, maxc, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, n_rows, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((T, P, 4), jnp.float32),
+            jax.ShapeDtypeStruct((T, maxc, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_starts, pair_attrs_t)
+    return out, ent
+
+
+def _blend_train_bwd_call(tile_starts, pair_attrs_t, ent, dout4,
+                          grid_x, grid_y, tile_size, max_k, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_rows, ppad = pair_attrs_t.shape
+    T = grid_x * grid_y
+    P = tile_size * tile_size
+    maxc = (max_k + CHUNK) // CHUNK + 1
+    blocks = pl.pallas_call(
+        functools.partial(
+            _blend_bwd_kernel, grid_x=grid_x, tile_size=tile_size,
+            max_k=max_k, maxc=maxc,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, maxc, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, 4), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, maxc, n_rows, CHUNK), lambda t, *_: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, n_rows, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, maxc, n_rows, CHUNK), jnp.float32),
+        interpret=interpret,
+    )(tile_starts, pair_attrs_t, ent, dout4)
+
+    # scatter-add the per-(tile, local chunk) blocks back onto the sorted
+    # pair axis: block (t, ci) covers columns [astart_t + ci*CHUNK, +CHUNK)
+    start = tile_starts[:T]
+    astart = (start // CHUNK) * CHUNK                       # (T,)
+    cols = astart[:, None] + jnp.arange(maxc, dtype=jnp.int32)[None, :] * CHUNK
+    flat = blocks.reshape(T * maxc, n_rows, CHUNK)
+    dattrs = jnp.zeros((n_rows, ppad + maxc * CHUNK), jnp.float32)
+    dattrs = _scatter_blocks(dattrs, cols, flat)
+    return dattrs[:, :ppad]
+
+
+def _scatter_blocks(dattrs, cols, flat):
+    """Add (T*maxc) blocks of (n_rows, CHUNK) into dattrs (n_rows, cols)
+    at per-block column starts (adjacent tiles' aligned windows overlap by
+    at most one chunk, hence ADD, not set)."""
+    upd = jnp.swapaxes(flat, 1, 2)                          # (TM, CHUNK, n_rows)
+    target = jnp.swapaxes(dattrs, 0, 1)                     # (cols, n_rows)
+    idx = (cols.reshape(-1)[:, None]
+           + jnp.arange(CHUNK, dtype=jnp.int32)[None, :])   # (TM, CHUNK)
+    out = target.at[idx].add(upd)
+    return jnp.swapaxes(out, 0, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def pallas_blend_diff(tile_starts, pair_attrs_t, grid_x, grid_y,
+                      tile_size=16, max_k=4096, interpret=None):
+    """Differentiable pallas_blend (training path; unpacked f32 payloads).
+
+    Same outputs as pallas_blend; the VJP replays each tile back-to-front
+    in a second Pallas kernel (CUDA renderCUDA backward analogue) and
+    scatter-adds per-chunk gradient blocks onto the sorted pair axis —
+    upstream autodiff through the binning sort/tiling then routes them to
+    per-gaussian gradients."""
+    out, _ent = _blend_train_fwd(
+        tile_starts, pair_attrs_t, grid_x, grid_y, tile_size, max_k, interpret)
+    return out[:, :, :3], out[:, :, 3]
+
+
+def _pbd_fwd(tile_starts, pair_attrs_t, grid_x, grid_y, tile_size, max_k,
+             interpret):
+    out, ent = _blend_train_fwd(
+        tile_starts, pair_attrs_t, grid_x, grid_y, tile_size, max_k, interpret)
+    return (out[:, :, :3], out[:, :, 3]), (tile_starts, pair_attrs_t, ent)
+
+
+def _pbd_bwd(grid_x, grid_y, tile_size, max_k, interpret, res, cts):
+    tile_starts, pair_attrs_t, ent = res
+    daccum, dtrans = cts
+    dout4 = jnp.concatenate([daccum, dtrans[:, :, None]], axis=2)
+    dattrs = _blend_train_bwd_call(
+        tile_starts, pair_attrs_t, ent, dout4,
+        grid_x, grid_y, tile_size, max_k, interpret)
+    import numpy as np
+    zero_int = np.zeros(tile_starts.shape, jax.dtypes.float0)
+    return (zero_int, dattrs)
+
+
+pallas_blend_diff.defvjp(_pbd_fwd, _pbd_bwd)

@@ -266,8 +266,10 @@ def render_simple(
     color}; activations applied here exactly like GaussianModel properties
     (exp / normalize / sigmoid; color is the degree-0 SH feature).
 
-    backend: 'xla' (differentiable, any platform) or 'pallas' (fast
-    forward-only TPU path, splat/fast_raster.py).
+    backend: 'xla' (differentiable, any platform), 'pallas' (fast
+    forward-only TPU path, splat/fast_raster.py), or 'pallas_diff'
+    (fast path with the custom-VJP Pallas blend backward — the
+    CUDA-rasterizer-backward analogue; training on TPU).
     """
     means = decoded["xyz"]
     if xyz_offset is not None:
@@ -276,13 +278,13 @@ def render_simple(
     rotations = decoded["rotation"]  # normalized inside projection
     opacity = jax.nn.sigmoid(decoded["opacity"])
     shs = decoded["color"][:, None, :]  # (N, 1, 3) degree-0 feature
-    if backend == "pallas":
+    if backend in ("pallas", "pallas_diff"):
         from .fast_raster import rasterize_fast
 
         return rasterize_fast(
             cam, means, scales, rotations, opacity,
             shs=shs, sh_degree=0, bg=bg, scale_modifier=scale_modifier,
-            config=config,
+            config=config, differentiable=(backend == "pallas_diff"),
         )
     return rasterize(
         cam, means, scales, rotations, opacity,

@@ -64,6 +64,8 @@ class DistillConfig:
     bg_color: Tuple[float, float, float] = (0.55717, 0.52256, 0.51045)
     id_cam_threshold: float = math.pi * 0.2
     id_min_fov: float = 8.0
+    raster_backend: str = "xla"   # 'xla' (any platform) | 'pallas_diff'
+    # (TPU: custom-VJP Pallas blend, ~2.8x faster rasterizer fwd+bwd)
 
 
 class TrainState(NamedTuple):
@@ -122,7 +124,8 @@ def make_loss_fn(
 
         fov = target.fov_deg / 360.0 * 2 * jnp.pi
         cam = make_camera(cfg.image_size, fov, target.cam2world_pose[0])
-        render_out = render_simple(cam, decoded, bg=bg, config=raster_cfg)
+        render_out = render_simple(cam, decoded, bg=bg, config=raster_cfg,
+                                   backend=cfg.raster_backend)
         image = render_out["render"][:3]
         target_img = target.img[0]
 

@@ -124,3 +124,44 @@ def test_bf16_color_packing_close():
     mse = ((ia - ib) ** 2).mean()
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 48.0, psnr
+
+
+def test_pallas_blend_backward_matches_xla_autodiff():
+    """custom-VJP Pallas blend (back-to-front replay + scatter-add) produces
+    the same input gradients as XLA autodiff through the scan blend."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.splat.rasterize import (
+        RasterizeConfig, render_simple)
+
+    cp, c2w = default_camera_params()
+    cam = make_camera(48, jnp.asarray(0.227), c2w)
+    N = 200
+    k = jax.random.PRNGKey(0)
+    decoded = dict(
+        xyz=(jax.random.uniform(k, (N, 3)) - 0.5) * 0.4,
+        scale=-jax.nn.softplus(jax.random.normal(jax.random.fold_in(k, 1), (N, 3)) + 5.0) - 1.0,
+        rotation=jax.random.normal(jax.random.fold_in(k, 2), (N, 4)),
+        opacity=jax.random.normal(jax.random.fold_in(k, 3), (N, 1)),
+        color=jax.random.normal(jax.random.fold_in(k, 4), (N, 3)) * 0.3,
+    )
+    cfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 13, tile_capacity=256,
+                          chunk=32, static_copies=2, overflow_budget=2 ** 11)
+    bg = jnp.asarray([0.5, 0.5, 0.5])
+    tgt = jax.random.uniform(jax.random.fold_in(k, 9), (3, 48, 48))
+
+    def loss(d, backend):
+        out = render_simple(cam, d, bg=bg, config=cfg, backend=backend)
+        return jnp.sum((out["render"] - tgt) ** 2)
+
+    assert abs(float(loss(decoded, "xla")) - float(loss(decoded, "pallas_diff"))) < 1e-3
+    g_x = jax.grad(lambda d: loss(d, "xla"))(decoded)
+    g_p = jax.grad(lambda d: loss(d, "pallas_diff"))(decoded)
+    for key in decoded:
+        a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
+        assert rel < 1e-4, (key, rel)
