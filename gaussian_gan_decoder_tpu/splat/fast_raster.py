@@ -119,6 +119,37 @@ def build_pairs_ch(
     return tile_key, qd, fields_rep, n_dropped
 
 
+@jax.custom_vjp
+def _sort_pairs(tile_key, qd, fields):
+    """lax.sort by (tile, depth) carrying the payload fields, with a cheap
+    VJP: autodiff through lax.sort scatters each payload cotangent through
+    the permutation (9 separate ~1M-row scatters, measured ~80 ms/frame);
+    routing a permutation's cotangents is itself a permutation, so the
+    backward is ONE more variadic sort keyed by the saved original
+    positions (~8 ms)."""
+    return tuple(jax.lax.sort([tile_key, qd] + list(fields), num_keys=2))
+
+
+def _sort_pairs_fwd(tile_key, qd, fields):
+    pos = jnp.arange(tile_key.shape[0], dtype=jnp.int32)
+    ops = jax.lax.sort([tile_key, qd, pos] + list(fields), num_keys=2)
+    out = (ops[0], ops[1]) + tuple(ops[3:])
+    return out, ops[2]
+
+
+def _sort_pairs_bwd(pos, cts):
+    import numpy as np
+
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)  # noqa: E731
+    d_fields = jax.lax.sort([pos] + [jnp.asarray(c) for c in cts[2:]],
+                            num_keys=1)[1:]
+    return (f0(pos), f0(pos), tuple(d_fields))
+
+
+_sort_pairs.defvjp(_sort_pairs_fwd, _sort_pairs_bwd)
+
+
+
 def _bf16_pack_pair(a, b):
     """Two f32 vectors -> one f32-bitcast word of (bf16(a) | bf16(b)):
     a in the high 16 bits, b in the low. Round-half-up via +0x8000."""
@@ -155,7 +186,7 @@ def bin_pairs_lexsort_ch(
         n_rows = ROW
 
     # -- one lexicographic sort: (tile, depth-bits) + the live payloads -------
-    sorted_ops = jax.lax.sort([tile_key, qd] + fields_rep, num_keys=2)
+    sorted_ops = _sort_pairs(tile_key, qd, tuple(fields_rep))
     sorted_tile = sorted_ops[0]
     # field-major directly (the blend kernel's DMA layout) — no transpose;
     # dead row padding appended post-sort

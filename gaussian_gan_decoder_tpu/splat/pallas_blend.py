@@ -370,12 +370,11 @@ def _blend_bwd_kernel(
         dalpha = jnp.where(grad_live, dalpha, 0.0)
 
         dpow = dalpha * alpha
-        ones_row = jnp.ones((1, P), jnp.float32)
 
         def psum(x):                         # (P, CHUNK) -> (1, CHUNK)
-            return jax.lax.dot_general(
-                ones_row, x, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            # sublane tree-sum: a (1,P)@(P,CHUNK) dot here stalls the MXU
+            # at M=1 (~0.4 us each, 10 per chunk — measured ~60 ms/frame)
+            return jnp.sum(x, axis=0, keepdims=True)
 
         d_gx = psum((ca * dx + cb * dy) * dpow)
         d_gy = psum((cc * dy + cb * dx) * dpow)
@@ -496,13 +495,20 @@ def _blend_train_bwd_call(tile_starts, pair_attrs_t, ent, dout4,
 
 def _scatter_blocks(dattrs, cols, flat):
     """Add (T*maxc) blocks of (n_rows, CHUNK) into dattrs (n_rows, cols)
-    at per-block column starts (adjacent tiles' aligned windows overlap by
-    at most one chunk, hence ADD, not set)."""
+    at per-block column starts (aligned windows of adjacent tiles overlap,
+    hence ADD). One WINDOW-scatter of whole (CHUNK, n_rows) blocks — an
+    elementwise .at[idx].add here degenerates to 1.2M scattered rows."""
     upd = jnp.swapaxes(flat, 1, 2)                          # (TM, CHUNK, n_rows)
     target = jnp.swapaxes(dattrs, 0, 1)                     # (cols, n_rows)
-    idx = (cols.reshape(-1)[:, None]
-           + jnp.arange(CHUNK, dtype=jnp.int32)[None, :])   # (TM, CHUNK)
-    out = target.at[idx].add(upd)
+    out = jax.lax.scatter_add(
+        target, cols.reshape(-1)[:, None], upd,
+        jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2),
+            inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,),
+        ),
+        indices_are_sorted=False, unique_indices=False,
+    )
     return jnp.swapaxes(out, 0, 1)
 
 
