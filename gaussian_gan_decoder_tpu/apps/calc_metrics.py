@@ -86,8 +86,28 @@ def main(argv=None):
 
     out = {}
     for m in args.metrics.split(","):
+        kwargs = {}
+        if m == "ppl2_wend":
+            # PPL needs direct mapping/synthesis access (GAN path only)
+            assert not args.checkpoint, "ppl2_wend runs on a GAN, not a decoder"
+
+            def mapping_fn(key, z, c):
+                return gen.mapping(gp, z, c)
+
+            def synthesis_fn(ws):
+                return gen.synthesis(gp, ws, jnp.tile(next(c_source())[:1],
+                                                      (ws.shape[0], 1)))["image"]
+
+            def dist_fn(a, b):
+                fa = feat(a)
+                fb = feat(b)
+                return jnp.sum((fa - fb) ** 2, axis=-1)
+
+            kwargs = dict(mapping_fn=mapping_fn, synthesis_fn=synthesis_fn,
+                          dist_fn=dist_fn, c_source=c_source(),
+                          num_samples=args.num_items, batch_size=args.batch)
         r = calc_metric(m, real_batches=real_batches(), gen_batches=gen_batches,
-                        feature_fn=feat, num_items=args.num_items)
+                        feature_fn=feat, num_items=args.num_items, **kwargs)
         out.update(r["results"])
         print(json.dumps(r))
     print(json.dumps(out, indent=2))

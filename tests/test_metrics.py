@@ -72,3 +72,29 @@ def test_registry_and_fid_pipeline(rng):
         feature_fn=feats, num_items=256,
     )
     assert r2["results"]["fid50k_full"] > 50.0
+
+
+def test_ppl2_wend_smoke():
+    """PPL registry entry: smooth generator -> finite small PPL; the value
+    scales with the synthesis Lipschitz constant."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_gan_decoder_tpu.metrics.metric_main import calc_metric
+
+    W = jax.random.normal(jax.random.PRNGKey(0), (512, 3 * 8 * 8)) * 0.02
+
+    def mapping_fn(key, z, c):
+        return z
+
+    def synthesis_fn(ws):
+        return jnp.tanh(ws @ W).reshape(-1, 3, 8, 8)
+
+    def dist_fn(a, b):
+        return jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+
+    out = calc_metric("ppl2_wend", real_batches=None, gen_batches=None,
+                      mapping_fn=mapping_fn, synthesis_fn=synthesis_fn,
+                      dist_fn=dist_fn, num_samples=64, batch_size=16)
+    v = out["results"]["ppl2_wend"]
+    assert jnp.isfinite(v) and v >= 0.0
