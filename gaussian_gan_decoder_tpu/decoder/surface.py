@@ -106,6 +106,47 @@ def marching_tetrahedra_faces(
     """-> (verts (face_capacity, 3, 3) normalised coords, n_faces scalar).
 
     Vertex coords follow the reference normalisation idx/R - 0.5."""
+    packed, n_faces = _marching_tetrahedra_packed(sigmas, level, face_capacity)
+    R = sigmas.shape[0]
+    verts = packed[:, :9].reshape(-1, 3, 3) / R - 0.5
+    return verts, n_faces
+
+
+def _combo_table():
+    """Static per-(tet, tri, case, vert) data: edge-end corner offsets (6
+    f32) + corner ids (2), 8 columns per vertex -> (192, 24) f32."""
+    tab = np.zeros((6 * 2 * 16, 24), np.float32)
+    for tet in range(6):
+        for tri in range(2):
+            for case in range(16):
+                row = tab[(tet * 2 + tri) * 16 + case]
+                for vv in range(3):
+                    la = _TRI_A[case, tri, vv]
+                    lb = _TRI_B[case, tri, vv]
+                    ca = _TETS[tet, la]
+                    cb = _TETS[tet, lb]
+                    row[vv * 8 + 0: vv * 8 + 3] = _CORNER_OFFS[ca]
+                    row[vv * 8 + 3: vv * 8 + 6] = _CORNER_OFFS[cb]
+                    row[vv * 8 + 6] = ca
+                    row[vv * 8 + 7] = cb
+    return tab
+
+
+_COMBO_TAB = _combo_table()
+
+
+def _marching_tetrahedra_packed(sigmas, level, face_capacity):
+    """-> (packed (F, 16) f32: cols 0..8 = the 3 vertices' xyz in INDEX
+    space, 9.. zero; n_faces).
+
+    Channel-major/packed implementation: the straightforward (F, 3, 3)
+    formulation materialises rank-3 arrays whose (3, 3) minor dims pad to
+    (8, 128) tiles — gigabytes of physical traffic per intermediate — and
+    does ~12 scalar-row gathers per face (measured ~420 ms/step at
+    flagship). Here every per-face quantity is a (F,) vector; all static
+    per-(tet, tri, case, vert) lookups collapse into ONE (192, 24)
+    combo-row gather and the 8 corner sigmas of each face's cube arrive
+    in ONE (F, 8) row gather."""
     R = sigmas.shape[0]
     C = (R - 1) ** 3
 
@@ -120,56 +161,70 @@ def marching_tetrahedra_faces(
     v = jnp.stack([s.reshape(C) for s in slices], axis=0)  # (8, C)
     inside = v > level
 
-    tets = jnp.asarray(_TETS)
-    # cases (6, C)
+    # cases + validity per tet, (6, C) — validity via POPCOUNT arithmetic:
+    # a table lookup _TRI_VALID[cases] is 12.3M scalar-row gathers
     cases = jnp.zeros((6, C), jnp.int32)
+    valid0 = jnp.zeros((6, C), jnp.bool_)
+    valid1 = jnp.zeros((6, C), jnp.bool_)
     for t in range(6):
-        case_t = (
-            inside[_TETS[t, 0]].astype(jnp.int32)
-            + (inside[_TETS[t, 1]].astype(jnp.int32) << 1)
-            + (inside[_TETS[t, 2]].astype(jnp.int32) << 2)
-            + (inside[_TETS[t, 3]].astype(jnp.int32) << 3)
-        )
+        b = [inside[_TETS[t, i]].astype(jnp.int32) for i in range(4)]
+        case_t = b[0] + (b[1] << 1) + (b[2] << 2) + (b[3] << 3)
+        n_in = b[0] + b[1] + b[2] + b[3]
         cases = cases.at[t].set(case_t)
-
-    tri_valid = jnp.asarray(_TRI_VALID)[cases]          # (6, C, 2)
-    flat_valid = jnp.transpose(tri_valid, (0, 2, 1)).reshape(-1)  # (6*2*C,) cube fastest
+        valid0 = valid0.at[t].set((n_in > 0) & (n_in < 4))
+        valid1 = valid1.at[t].set(n_in == 2)
+    flat_valid = jnp.concatenate(
+        [v.reshape(-1) for pair in zip(valid0, valid1) for v in pair]
+    )  # order (tet, tri, cube) — cube fastest, matches tri_idx decode below
     n_faces = jnp.sum(flat_valid.astype(jnp.int32))
 
-    (tri_idx,) = jnp.nonzero(flat_valid, size=face_capacity, fill_value=0)
+    # fixed-capacity compaction by SORT, not jnp.nonzero: nonzero lowers to
+    # a 24.6M-row element scatter (~hundreds of ms); a 2-operand sort moves
+    # the indices at streaming bandwidth
+    iota = jnp.arange(flat_valid.shape[0], dtype=jnp.int32)
+    inv_key = jnp.where(flat_valid, iota, jnp.int32(0x7FFFFFFF))
+    tri_idx = jax.lax.sort([inv_key], num_keys=1)[0][:face_capacity]
+    tri_idx = jnp.where(tri_idx == 0x7FFFFFFF, 0, tri_idx)
     cube = tri_idx % C
     tt = tri_idx // C
-    tet = tt // 2
-    tri = tt % 2
+    combo = tt * 16 + cases[tt // 2, cube]               # (tet*2+tri)*16+case
 
-    case = cases[tet, cube]                              # (F,)
-    ea = jnp.asarray(_TRI_A)[case, tri]                  # (F, 3) local vert idx
-    eb = jnp.asarray(_TRI_B)[case, tri]
-    ca = tets[tet[:, None], ea]                          # (F, 3) corner ids
-    cb = tets[tet[:, None], eb]
-
-    sa = v[ca, cube[:, None]]                            # (F, 3)
-    sb = v[cb, cube[:, None]]
+    crow = jnp.take(jnp.asarray(_COMBO_TAB), combo, axis=0)  # (F, 24)
+    vrow = jnp.take(v.T, cube, axis=0)                   # (F, 8) corner sigmas
 
     # cube base (i, j, k): i slow, k fast (matches create_samples)
     r1 = R - 1
-    bi = cube // (r1 * r1)
-    bj = (cube // r1) % r1
-    bk = cube % r1
-    base = jnp.stack([bi, bj, bk], axis=-1).astype(sigmas.dtype)  # (F, 3)
-    offs = jnp.asarray(_CORNER_OFFS, sigmas.dtype)
-    pa = base[:, None, :] + offs[ca]                     # (F, 3verts, 3)
-    pb = base[:, None, :] + offs[cb]
+    f32 = sigmas.dtype
+    bi = (cube // (r1 * r1)).astype(f32)
+    bj = ((cube // r1) % r1).astype(f32)
+    bk = (cube % r1).astype(f32)
 
-    denom = sb - sa
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    # crossings live on the edge; the clamp also bounds the fill rows that
-    # pad the capacity when fewer than face_capacity faces exist
-    t_lerp = jnp.clip((level - sa) / denom, 0.0, 1.0)
-    verts = pa + t_lerp[..., None] * (pb - pa)           # (F, 3, 3) index space
+    def corner_val(cid):                                 # (F,) int corner id
+        out = vrow[:, 0]
+        for c in range(1, 8):
+            out = jnp.where(cid == c, vrow[:, c], out)
+        return out
 
-    verts = verts / R - 0.5                              # ref normalisation
-    return verts, n_faces
+    cols = []
+    for vv in range(3):
+        oa = [crow[:, vv * 8 + k] for k in range(3)]
+        ob = [crow[:, vv * 8 + 3 + k] for k in range(3)]
+        ca = crow[:, vv * 8 + 6].astype(jnp.int32)
+        cb = crow[:, vv * 8 + 7].astype(jnp.int32)
+        sa = corner_val(ca)
+        sb = corner_val(cb)
+        denom = sb - sa
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        # crossings live on the edge; the clamp also bounds capacity-fill rows
+        t_lerp = jnp.clip((level - sa) / denom, 0.0, 1.0)
+        base = (bi, bj, bk)
+        for k in range(3):
+            pa = base[k] + oa[k]
+            pb = base[k] + ob[k]
+            cols.append(pa + t_lerp * (pb - pa))          # index space
+
+    packed = jnp.stack(cols + [jnp.zeros_like(cols[0])] * 7, axis=1)  # (F, 16)
+    return packed, n_faces
 
 
 def marching_tetrahedra_sample(
@@ -183,28 +238,34 @@ def marching_tetrahedra_sample(
     """Surface point cloud (n_points, 3) like the reference's
     marching-cubes + barycentric + thickness pipeline."""
     kf, kw, ks = jax.random.split(key, 3)
-    verts, n_faces = marching_tetrahedra_faces(sigmas, level, face_capacity)
+    packed, n_faces = _marching_tetrahedra_packed(sigmas, level, face_capacity)
+    R = sigmas.shape[0]
     n_eff = jnp.maximum(jnp.minimum(n_faces, face_capacity), 1)
 
     fidx = jnp.floor(
         jax.random.uniform(kf, (n_points,)) * n_eff.astype(jnp.float32)
     ).astype(jnp.int32)
     fidx = jnp.minimum(fidx, n_eff - 1)
-    face_coords = verts[fidx]                            # (P, 3, 3)
+    rows = jnp.take(packed, fidx, axis=0)                # (P, 16) ONE gather
 
-    w = jax.random.uniform(kw, (n_points, 3), verts.dtype)
+    w = jax.random.uniform(kw, (n_points, 3), packed.dtype)
     w = w / jnp.sum(w, axis=1, keepdims=True)            # ref's sum-normalised weights
-    pts = jnp.sum(face_coords * w[..., None], axis=1)
-
     scale = jnp.clip(
-        jax.random.normal(ks, (n_points, 1), pts.dtype) * surface_thickness + 1.0,
+        jax.random.normal(ks, (n_points,), packed.dtype) * surface_thickness + 1.0,
         0.0, 1.0,
     )
-    return pts * scale
+    # barycentric + normalisation + thickness on (P,) channel vectors
+    pts = []
+    for k in range(3):
+        coord = (rows[:, k] * w[:, 0] + rows[:, 3 + k] * w[:, 1]
+                 + rows[:, 6 + k] * w[:, 2])
+        pts.append((coord / R - 0.5) * scale)
+    return jnp.stack(pts, axis=1)
 
 
 def sigma_grid(
-    generator, gen_params, planes, shape_res: int = 128, chunk: int = 2 ** 18
+    generator, gen_params, planes, shape_res: int = 128, chunk: int = 2 ** 18,
+    table=None,
 ) -> jax.Array:
     """Chunked density probe over the sampling cube -> (R, R, R).
 
@@ -218,9 +279,16 @@ def sigma_grid(
     assert n % chunk == 0, (n, chunk)
     coords = samples.reshape(-1, chunk, 3)
 
+    if table is None:
+        # build the brick expansion ONCE outside the chunk loop: XLA does
+        # not reliably hoist it out of the lax.map body, so every chunk
+        # would rebuild it (measured: most of the sigma-grid cost)
+        table = generator.build_sampling_table(planes)
+
     def probe(c):
         dirs = jnp.zeros_like(c).at[..., 2].set(-1.0)
-        out = generator.sample_mixed_from_planes(gen_params, planes, c[None], dirs[None])
+        out = generator.sample_mixed_from_planes(
+            gen_params, planes, c[None], dirs[None], table=table)
         return out["sigma"][0, :, 0]
 
     sig = jax.lax.map(probe, coords)  # (n/chunk, chunk)

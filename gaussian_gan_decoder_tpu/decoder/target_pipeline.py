@@ -37,6 +37,9 @@ class TargetSamplerConfig:
     fov_offset: float = 5.0
     fov_offset_scale: float = 12.0
     use_marching_cubes: bool = True
+    bf16_probe: bool = False       # bf16 brick table for the FROZEN target
+    # probes (~2^-8 feature err on a no-grad target; big speed win)
+    pallas_probe_build: bool = False  # Pallas table build (TPU; tri-grid)
     surface_thickness: float = 0.1
     shape_res: int = 128
     num_points: int = 500_000
@@ -97,10 +100,18 @@ def sample_target(
         gen_params, z, jnp.zeros_like(camera_params), truncation_psi=truncation
     )
     planes = generator.synthesis_planes(gen_params, ws, noise_mode="const")
+    # ONE brick table for the render probes (coarse+importance) AND the
+    # sigma grid below — all probe the same frozen planes
+    table = generator.build_sampling_table(
+        planes,
+        brick_dtype=jnp.bfloat16 if cfg.bf16_probe else None,
+        pallas_build=cfg.pallas_probe_build,
+    )
+    table = jax.lax.stop_gradient(table)
     synth = generator.render_planes(
         gen_params, planes, ws, camera_params,
         neural_rendering_resolution=cfg.neural_rendering_resolution,
-        noise_mode="const", key=k_render,
+        noise_mode="const", key=k_render, plane_table=table,
     )
     synth = {k: jax.lax.stop_gradient(v) for k, v in synth.items()}
     planes = jax.lax.stop_gradient(planes)
@@ -115,7 +126,8 @@ def sample_target(
     img = jnp.clip((image + 1) / 2, 0, 1)
 
     sigmas = sigma_grid(
-        generator, gen_params, planes, shape_res=cfg.shape_res, chunk=cfg.sigma_chunk
+        generator, gen_params, planes, shape_res=cfg.shape_res,
+        chunk=cfg.sigma_chunk, table=table,
     )
     sigmas = jax.lax.stop_gradient(sigmas)
 

@@ -304,9 +304,10 @@ class TriPlaneGenerator:
         key=None,
         noise_key=None,
         ws_bcg=None,
+        plane_table=None,
     ) -> Dict[str, jax.Array]:
         """Volume render + SR from precomputed planes (ref synthesis :128-225)."""
-        rk = self.rk
+        rk = self.rk if plane_table is None else {**self.rk, "plane_table": plane_table}
         if key is None:
             key = jax.random.PRNGKey(0)
         cam2world = c[:, :16].reshape(-1, 4, 4)
@@ -381,12 +382,28 @@ class TriPlaneGenerator:
 
     # -- point probes (ref :227-263) -------------------------------------------
 
-    def sample_mixed_from_planes(self, params, planes, coordinates, directions=None):
-        """{rgb, sigma} at arbitrary coords from precomputed planes."""
+    def sample_mixed_from_planes(self, params, planes, coordinates,
+                                 directions=None, table=None):
+        """{rgb, sigma} at arbitrary coords from precomputed planes.
+
+        `table` (renderer.build_plane_table output) reuses one brick
+        expansion across chunked probes."""
         decoder_fn = lambda feats, dirs: self.decoder.apply(  # noqa: E731
             params["decoder"], feats, dirs
         )
-        return self.renderer.run_model(planes, decoder_fn, coordinates, directions, self.rk)
+        rk = self.rk if table is None else {**self.rk, "plane_table": table}
+        return self.renderer.run_model(planes, decoder_fn, coordinates, directions, rk)
+
+    def build_sampling_table(self, planes, brick_dtype=None,
+                             pallas_build: bool = False):
+        """Precompute the probe brick table for render_planes /
+        sample_mixed_from_planes reuse (neuralfield.build_plane_table)."""
+        from ..neuralfield.renderer import build_plane_table
+
+        return build_plane_table(
+            planes, self.triplane_depth, brick_dtype=brick_dtype,
+            pallas_build=pallas_build and self.triplane_depth > 1,
+        )
 
     def sample_mixed(self, params, coordinates, directions, ws, noise_mode="const"):
         planes = self.synthesis_planes(params, ws, noise_mode)

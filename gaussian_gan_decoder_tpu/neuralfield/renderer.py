@@ -58,6 +58,27 @@ def project_onto_planes(plane_axes: np.ndarray, coordinates: jax.Array) -> jax.A
     return jnp.einsum("nmc,pcd->npmd", coordinates, inv)
 
 
+def build_plane_table(
+    plane_features: jax.Array,   # (N, 3, C*D, H, W)
+    triplane_depth: int = 1,
+    brick_dtype=None,
+    pallas_build: bool = False,
+):
+    """Precompute the corner-brick expansion once so repeated probes of the
+    SAME planes (sigma grid chunks, coarse+importance render passes) skip
+    the rebuild — inside a lax.map/scan body XLA does NOT reliably hoist
+    the loop-invariant expansion, so each chunk would pay it again."""
+    N, n_planes, CD, H, W = plane_features.shape
+    C, D = CD // triplane_depth, triplane_depth
+    if brick_dtype is not None:
+        plane_features = plane_features.astype(brick_dtype)
+    if triplane_depth == 1:
+        feats = plane_features.reshape(N * n_planes, C, H, W)
+        return _bilinear_table(feats)
+    feats = plane_features.reshape(N * n_planes, C, D, H, W)
+    return _trilinear_table(feats, pallas_build and triplane_depth > 1)
+
+
 def sample_from_planes(
     plane_axes: np.ndarray,
     plane_features: jax.Array,   # (N, 3, C*D, H, W)
@@ -69,6 +90,7 @@ def sample_from_planes(
     # input dtype. ~2^-8 relative feature error — OFF by default (parity).
     pallas_build: bool = False,  # Pallas streaming brick-table build
     # (tri-grid only; ~4x faster than the XLA 8-slice concat on TPU)
+    table=None,                  # build_plane_table output: reuse across calls
 ) -> jax.Array:
     """Probe the tri-plane/tri-grid at world coords (ref renderer.py:47-58).
 
@@ -92,14 +114,19 @@ def sample_from_planes(
     proj = proj.reshape(N * n_planes, M, 3)
 
     out_dtype = plane_features.dtype
-    if brick_dtype is not None:
-        plane_features = plane_features.astype(brick_dtype)
+    if table is None:
+        if brick_dtype is not None:
+            plane_features = plane_features.astype(brick_dtype)
+        if triplane_depth == 1:
+            feats = plane_features.reshape(N * n_planes, C, H, W)
+            table = _bilinear_table(feats)
+        else:
+            feats = plane_features.reshape(N * n_planes, C, D, H, W)
+            table = _trilinear_table(feats, pallas_build and triplane_depth > 1)
     if triplane_depth == 1:
-        feats = plane_features.reshape(N * n_planes, C, H, W)
-        out = _bilinear_brick_sample(feats, proj[..., :2])          # (NP, M, C)
+        out = _bilinear_sample_table(table, C, H, W, proj[..., :2])
     else:
-        feats = plane_features.reshape(N * n_planes, C, D, H, W)
-        out = _trilinear_brick_sample(feats, proj, pallas_build=pallas_build)
+        out = _trilinear_sample_table(table, C, D, H, W, proj)
     return out.reshape(N, n_planes, M, C).astype(out_dtype)
 
 
@@ -119,8 +146,8 @@ def _corner_weights_1d(g, size):
     return idxp, w1, v0, v1
 
 
-def _bilinear_brick_sample(feats, grid):
-    """feats (B, C, H, W); grid (B, M, 2) in [-1,1] -> (B, M, C)."""
+def _bilinear_table(feats):
+    """feats (B, C, H, W) -> (e (B, (H+1)*(W+1), 4C),) corner-brick table."""
     B, C, H, W = feats.shape
     # zero-pad one voxel on each side, channels-last
     fp = jnp.pad(feats, ((0, 0), (0, 0), (1, 1), (1, 1)))
@@ -133,8 +160,13 @@ def _bilinear_brick_sample(feats, grid):
         ],
         axis=-1,
     )  # (B, H+1, W+1, 4C)
-    e = e.reshape(B, (H + 1) * (W + 1), 4 * C)
+    return (e.reshape(B, (H + 1) * (W + 1), 4 * C),)
 
+
+def _bilinear_sample_table(table, C, H, W, grid):
+    """table from _bilinear_table; grid (B, M, 2) in [-1,1] -> (B, M, C)."""
+    (e,) = table
+    B = e.shape[0]
     ix, wx, vx0, vx1 = _corner_weights_1d(grid[..., 0], W)
     iy, wy, vy0, vy1 = _corner_weights_1d(grid[..., 1], H)
     idx = iy * (W + 1) + ix
@@ -162,8 +194,8 @@ def _bilinear_brick_sample(feats, grid):
     return jax.vmap(combine)(rows, *wargs)
 
 
-def _trilinear_brick_sample(feats, grid, pallas_build: bool = False):
-    """feats (B, C, D, H, W); grid (B, M, 3) (x,y,z) in [-1,1] -> (B, M, C)."""
+def _trilinear_table(feats, pallas_build: bool = False):
+    """feats (B, C, D, H, W) -> (e, NY) corner-brick table."""
     B, C, D, H, W = feats.shape
     if pallas_build:
         from .pallas_expand import build_brick_table
@@ -188,7 +220,13 @@ def _trilinear_brick_sample(feats, grid, pallas_build: bool = False):
         e = jnp.concatenate(parts, axis=-1)  # (B, D+1, H+1, W+1, 8C)
         e = e.reshape(B, (D + 1) * (H + 1) * (W + 1), 8 * C)
         NY = H + 1
+    return (e, NY)
 
+
+def _trilinear_sample_table(table, C, D, H, W, grid):
+    """table from _trilinear_table; grid (B, M, 3) in [-1,1] -> (B, M, C)."""
+    e, NY = table
+    B = e.shape[0]
     ix, wx, vx0, vx1 = _corner_weights_1d(grid[..., 0], W)
     iy, wy, vy0, vy1 = _corner_weights_1d(grid[..., 1], H)
     iz, wz, vz0, vz1 = _corner_weights_1d(grid[..., 2], D)
@@ -283,11 +321,13 @@ class ImportanceRenderer:
         """Probe planes + decode (ref renderer.py:198-205).
 
         decoder_fn(features (N,P,M,C), directions (N,M,3)) -> {'rgb','sigma'}.
-        """
+        options['plane_table'] (build_plane_table output) skips the
+        per-call brick expansion."""
         feats = sample_from_planes(
             self.plane_axes, planes, sample_coordinates,
             box_warp=options["box_warp"],
             triplane_depth=options.get("triplane_depth", 1),
+            table=options.get("plane_table"),
         )
         out = decoder_fn(feats, sample_directions)
         if options.get("density_noise", 0) > 0:
@@ -368,6 +408,14 @@ class ImportanceRenderer:
         machinery is disabled (the EG3D fork never tracks xyz).
         """
         opts = rendering_options
+        if "plane_table" not in opts:
+            # build the brick table ONCE for the coarse + importance passes
+            opts = dict(opts)
+            opts["plane_table"] = build_plane_table(
+                planes, opts.get("triplane_depth", 1),
+                brick_dtype=opts.get("probe_brick_dtype"),
+                pallas_build=bool(opts.get("probe_pallas_build", False)),
+            )
         track_xyz = self.plane_variant == "panohead"
         k_strat, k_imp = jax.random.split(key)
 

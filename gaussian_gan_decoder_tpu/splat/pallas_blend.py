@@ -19,8 +19,10 @@ Field order (rows of the field-major array):
 
 Saturation math identical to CUDA: alpha clamp 0.99, 1/255 cutoff,
 power>0 cutoff. The CUDA per-pixel T<1e-4 early stop has NO profitable
-TPU analogue (see the note above the fori_loop): saturated work is
-bounded by max_k instead.
+WORK-SKIPPING analogue on TPU (see the note above the fori_loop) —
+saturated work is bounded by max_k; the TRAINING variant applies it as an
+alpha MASK for semantics + backward numerical safety (see
+pallas_blend_diff).
 """
 from __future__ import annotations
 

@@ -26,7 +26,10 @@ def main():
     vggp = vgg.init(jax.random.PRNGKey(2))
     backend = os.environ.get("RASTER", "pallas_diff")
     cfg = DistillConfig(raster_backend=backend)
-    tcfg = TargetSamplerConfig()
+    tcfg = TargetSamplerConfig(
+        bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
+        pallas_probe_build=bool(os.environ.get("DS_PALLAS_BUILD")),
+    )
     rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 21, tile_capacity=1024,
                            chunk=64, static_copies=2, overflow_budget=2 ** 16)
     step = make_train_step(dec, gp, vgg, vggp, None, None, cfg, tcfg, rcfg)
@@ -51,5 +54,110 @@ def main():
     print(f"{backend:12s}: {dt:9.1f} ms / full train step "
           f"({1000.0/dt:.2f} steps/s)", flush=True)
 
+def stage_ablate():
+    """Time the train step's pieces: target pipeline (no-grad), decode fwd,
+    loss fwd, and the full step (the remainder = backward + Adam)."""
+    from gaussian_gan_decoder_tpu.decoder.target_pipeline import sample_target
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.splat.rasterize import render_simple
+    from gaussian_gan_decoder_tpu.losses import lpips_loss
+
+    gen = flagship_generator()
+    dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
+                          use_gen_finetune=True)
+    gp = gen.init(jax.random.PRNGKey(1))
+    params = dec.init(jax.random.PRNGKey(0), generator_params=gp)
+    vgg = VGG16LPIPS()
+    vggp = vgg.init(jax.random.PRNGKey(2))
+    tcfg = TargetSamplerConfig(
+        bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
+        pallas_probe_build=bool(os.environ.get("DS_PALLAS_BUILD")),
+    )
+    rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 21, tile_capacity=1024,
+                           chunk=64, static_copies=2, overflow_budget=2 ** 16)
+    cfg = DistillConfig(raster_backend="pallas_diff")
+
+    def timed(name, fn):
+        def stream(key):
+            def body(i, acc):
+                return acc + fn(jax.random.fold_in(key, i), i)
+            return jax.lax.fori_loop(0, ITERS, body, 0.0)
+        f = jax.jit(stream)
+        float(f(jax.random.PRNGKey(3)))
+        t0 = time.perf_counter(); float(f(jax.random.PRNGKey(4)))
+        dt = (time.perf_counter() - t0) / ITERS * 1e3
+        print(f"{name:26s}: {dt:8.1f} ms", flush=True)
+
+    from gaussian_gan_decoder_tpu.decoder.surface import (
+        marching_tetrahedra_sample, sigma_grid)
+
+    def f_gan(k, i):
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        t = sample_target(k, gen, gp, z, iteration=i, cfg=tcfg, only_gan=True)
+        return jnp.sum(t.img[:, :, ::257, ::257])
+    timed("frozen-G 512^2 render", f_gan)
+
+    def f_sigma(k, i):
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
+        planes = gen.synthesis_planes(gp, ws, noise_mode="const")
+        table = gen.build_sampling_table(
+            planes,
+            brick_dtype=jnp.bfloat16 if tcfg.bf16_probe else None,
+            pallas_build=tcfg.pallas_probe_build)
+        sig = sigma_grid(gen, gp, planes, shape_res=tcfg.shape_res,
+                         chunk=tcfg.sigma_chunk, table=table)
+        return jnp.sum(sig[::31, ::31, ::31])
+    timed("planes + sigma grid", f_sigma)
+
+    def f_tetra(k, i):
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
+        planes = gen.synthesis_planes(gp, ws, noise_mode="const")
+        table = gen.build_sampling_table(
+            planes,
+            brick_dtype=jnp.bfloat16 if tcfg.bf16_probe else None,
+            pallas_build=tcfg.pallas_probe_build)
+        sig = sigma_grid(gen, gp, planes, shape_res=tcfg.shape_res,
+                         chunk=tcfg.sigma_chunk, table=table)
+        v = marching_tetrahedra_sample(k, sig, level=tcfg.mc_level,
+                                       n_points=tcfg.num_points,
+                                       surface_thickness=tcfg.surface_thickness,
+                                       face_capacity=tcfg.face_capacity)
+        return jnp.sum(v[:8])
+    timed("+ marching tetrahedra", f_tetra)
+
+    def f_target(k, i):
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        t = sample_target(k, gen, gp, z, iteration=i, cfg=tcfg)
+        return jnp.sum(t.vertices[:8]) + jnp.sum(t.img[:, :, ::257, ::257])
+    timed("target pipeline (no-grad)", f_target)
+
+    def f_decode(k, i):
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        t = sample_target(k, gen, gp, z, iteration=i, cfg=tcfg)
+        d = dec.apply(params, t.z, t.gan_camera_params, t.vertices,
+                      truncation_psi=t.truncation)
+        return jnp.sum(d.xyz[:8]) + jnp.sum(t.img[:, :, ::257, ::257])
+    timed("+ decode fwd (XLA heads)", f_decode)
+
+    def f_loss(k, i):
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        t = sample_target(k, gen, gp, z, iteration=i, cfg=tcfg)
+        d = dec.apply(params, t.z, t.gan_camera_params, t.vertices,
+                      truncation_psi=t.truncation)
+        fov = t.fov_deg / 360.0 * 2 * jnp.pi
+        cam = make_camera(512, fov, t.cam2world_pose[0])
+        out = render_simple(cam, d, bg=jnp.zeros((3,)), config=rcfg,
+                            backend="pallas_diff")
+        img = out["render"][:3]
+        return (jnp.mean(jnp.abs(img - t.img[0]))
+                + lpips_loss(vgg, vggp, img[None], t.img[:1]))
+    timed("+ raster + L1 + LPIPS fwd", f_loss)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("DS_STAGES"):
+        stage_ablate()
+    else:
+        main()
