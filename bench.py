@@ -72,6 +72,18 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 
+    # budget-exhaustion diagnostic: overflow-lane drops cause holes in
+    # deployed renders; surface them instead of silently benchmarking them
+    _, _, aux = decode_and_render(
+        dec, params, zs[0], cp, cam2world, init_pos, fov,
+        image_size=image_size, raster_cfg=rcfg, backend=backend,
+        return_aux=True,
+    )
+    nd = int(aux["n_dropped"])
+    if nd > 0:
+        print(f"WARNING: n_dropped={nd} tile pairs exceeded "
+              f"overflow_budget={rcfg.overflow_budget}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"decode+splat render {image_size}^2, {n_points} gaussians, frames/sec/chip",
         "value": round(fps, 3),

@@ -94,18 +94,24 @@ def main(argv=None):
             def mapping_fn(key, z, c):
                 return gen.mapping(gp, z, c)
 
-            def synthesis_fn(ws):
-                return gen.synthesis(gp, ws, jnp.tile(next(c_source())[:1],
-                                                      (ws.shape[0], 1)))["image"]
+            def synthesis_fn(ws, c):
+                # both PPL endpoints render under this SAME conditioning c
+                # (ref perceptual_path_length.py renders the pair in one
+                # batched synthesis call)
+                return gen.synthesis(gp, ws, c)["image"]
 
             def dist_fn(a, b):
-                fa = feat(a)
-                fb = feat(b)
+                # match the reference pipeline's feature input scale:
+                # [-1,1] synthesis output -> [0,255] (feat() then area-
+                # downsamples >256 inputs to 256 like the LPIPS path)
+                fa = feat(jnp.clip((a + 1) * 127.5, 0, 255))
+                fb = feat(jnp.clip((b + 1) * 127.5, 0, 255))
                 return jnp.sum((fa - fb) ** 2, axis=-1)
 
             kwargs = dict(mapping_fn=mapping_fn, synthesis_fn=synthesis_fn,
                           dist_fn=dist_fn, c_source=c_source(),
-                          num_samples=args.num_items, batch_size=args.batch)
+                          num_samples=args.num_items, batch_size=args.batch,
+                          z_dim=gen.z_dim, c_dim=gen.c_dim)
         r = calc_metric(m, real_batches=real_batches(), gen_batches=gen_batches,
                         feature_fn=feat, num_items=args.num_items, **kwargs)
         out.update(r["results"])

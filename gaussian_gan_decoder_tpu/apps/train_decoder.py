@@ -60,12 +60,18 @@ def build_argparser():
     p.add_argument("--load_checkpoint", default="")
     p.add_argument("--decoder_type", default="sequential_reversed",
                    choices=["sequential", "parallel", "sequential_reversed"])
-    p.add_argument("--use_pos_encoding", type=bool, default=False)
-    p.add_argument("--use_gen_finetune", type=bool, default=True)
+    # BooleanOptionalAction: the reference's click flags accept explicit
+    # values; `type=bool` would parse "--flag False" as True (bool("False"))
+    p.add_argument("--use_pos_encoding", action=argparse.BooleanOptionalAction,
+                   default=False)
+    p.add_argument("--use_gen_finetune", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--hidden_dim", type=int, default=128)
-    p.add_argument("--use_marching_cubes", type=bool, default=True)
+    p.add_argument("--use_marching_cubes", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--surface_thickness", type=float, default=0.1)
-    p.add_argument("--apply_mask_to_rendering", type=bool, default=False)
+    p.add_argument("--apply_mask_to_rendering", action=argparse.BooleanOptionalAction,
+                   default=False)
     # target data (ref :54-58)
     p.add_argument("--truncation", type=float, default=1.0)
     p.add_argument("--init_truncation", type=float, default=1.0)
@@ -214,19 +220,43 @@ def main(argv=None):
         state = checkpoint.restore(args.load_checkpoint, state)
         print(f"resumed from {args.load_checkpoint} at step {int(state.step)}")
 
-    step_fn = jax.jit(make_train_step(
-        decoder, frozen_params, vgg, vgg_params, irse, irse_params,
-        cfg=cfg, target_cfg=tcfg, raster_cfg=rcfg,
-    ))
+    batch_views = max(0, args.batch_views)
+    if batch_views > 0:
+        # DP view batch over the device mesh: each device draws its own
+        # latent + camera; grads are psum-averaged by the shardings
+        # (parallel/distill.py — the reference loop is single-GPU, one
+        # view/step: main/train_pano2gaussian_decoder.py:118)
+        from ..parallel import make_mesh, make_parallel_train_step
+
+        n_dev = jax.device_count()
+        assert batch_views % n_dev == 0, (
+            f"--batch_views {batch_views} must be a multiple of the "
+            f"device count {n_dev}")
+        mesh = make_mesh(n_dev, ("data",))
+        step_fn = make_parallel_train_step(
+            mesh, decoder, frozen_params, vgg, vgg_params, irse, irse_params,
+            cfg=cfg, target_cfg=tcfg, raster_cfg=rcfg,
+        )
+    else:
+        step_fn = jax.jit(make_train_step(
+            decoder, frozen_params, vgg, vgg_params, irse, irse_params,
+            cfg=cfg, target_cfg=tcfg, raster_cfg=rcfg,
+        ))
 
     # -- loop ---------------------------------------------------------------------
     z = None
     t_last = time.time()
     for i in range(int(state.step), args.num_iter):
         key, kz, kstep = jax.random.split(key, 3)
-        if z is None or args.repeat_id <= 1 or i % args.repeat_id == 0:
-            z = jax.random.normal(kz, (1, gen.z_dim))
-        state, metrics, aux = step_fn(state, kstep, z, jnp.asarray(i))
+        if batch_views > 0:
+            if z is None or args.repeat_id <= 1 or i % args.repeat_id == 0:
+                z = jax.random.normal(kz, (batch_views, 1, gen.z_dim))
+            keys = jax.random.split(kstep, batch_views)
+            state, metrics = step_fn(state, keys, z, jnp.asarray(i))
+        else:
+            if z is None or args.repeat_id <= 1 or i % args.repeat_id == 0:
+                z = jax.random.normal(kz, (1, gen.z_dim))
+            state, metrics, aux = step_fn(state, kstep, z, jnp.asarray(i))
 
         if i % 50 == 0:
             row = {k: float(v) for k, v in metrics.items()}

@@ -119,25 +119,62 @@ class ImageFolderDataset:
         return img, self.get_label(idx)
 
 
+def _matrix2angle(R: np.ndarray):
+    """Rotation matrix -> (yaw, pitch, roll) in radians — the reference's
+    Euler decomposition verbatim in math (PanoHead/training/utils.py:24-55,
+    matrix2angle; 'x' there is the yaw the pose filter keys on)."""
+    from math import asin, atan2, cos, pi
+
+    if R[2, 0] > 0.998:
+        z = 0.0
+        x = pi / 2
+        y = z + atan2(-R[0, 1], -R[0, 2])
+    elif R[2, 0] < -0.998:
+        z = 0.0
+        x = -pi / 2
+        y = -z + atan2(R[0, 1], R[0, 2])
+    else:
+        x = asin(R[2, 0])
+        y = atan2(R[2, 1] / cos(x), R[2, 2] / cos(x))
+        z = atan2(R[1, 0] / cos(x), R[0, 0] / cos(x))
+    if abs(y) > pi / 2:
+        x = (pi - x) if x > 0 else (-pi - x)
+    y = atan2(R[2, 1] / cos(x), R[2, 2] / cos(x))
+    z = atan2(R[1, 0] / cos(x), R[0, 0] / cos(x))
+    return x, y, z
+
+
+def get_poseangle(label: np.ndarray):
+    """25-dim camera label -> (yaw, pitch, roll) in DEGREES
+    (ref PanoHead/training/utils.py:66-80 get_poseangle)."""
+    convert = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float64)
+    cam2world = np.asarray(label[:16], np.float64).reshape(4, 4)
+    world2cam = np.linalg.inv(cam2world @ convert)
+    return tuple(a * 180.0 / np.pi for a in _matrix2angle(world2cam[:3, :3]))
+
+
 class MaskLabeledDataset:
-    """Paired image+segmentation zips with back-view oversampling
-    (ref dataset.py:301-367)."""
+    """Paired image+segmentation zips with pose filtering + back-view
+    oversampling (ref dataset.py:301-352)."""
 
     def __init__(self, img_path: str, seg_path: str, resolution=None,
-                 xflip: bool = False, back_repeat: int = 1):
+                 xflip: bool = False, back_repeat: int = 1,
+                 min_yaw: float = 0.0, max_yaw: float = 180.0,
+                 max_pitch: float = 90.0):
         self.images = ImageFolderDataset(img_path, resolution, True, xflip)
         self.segs = ImageFolderDataset(seg_path, resolution, False, xflip)
         self.back_repeat = back_repeat
-        # oversample back-facing views: |yaw| > ~90deg from frontal,
-        # estimated from the cam2world z-axis like the reference's yaw check
+        # reference _filter_samples (dataset.py:329-352): keep
+        # min_yaw <= |yaw| <= max_yaw and |pitch| <= max_pitch; repeat
+        # |yaw| >= max(90, min_yaw) views back_repeat times
         idx = np.arange(len(self.images))
         weights = []
+        back_cut = max(90.0, min_yaw)
         for i in idx:
-            lab = self.images.get_label(int(i))
-            pose = lab[:16].reshape(4, 4)
-            fwd = pose[:3, 2]
-            backfacing = fwd[2] > 0  # camera looking along +z = behind head
-            weights.append(back_repeat if backfacing else 1)
+            yaw, pitch, _ = get_poseangle(self.images.get_label(int(i)))
+            valid = (min_yaw <= abs(yaw) <= max_yaw) and abs(pitch) <= max_pitch
+            backfacing = valid and abs(yaw) >= back_cut
+            weights.append(back_repeat if backfacing else (1 if valid else 0))
         self._index = np.repeat(idx, weights)
 
     def __len__(self):

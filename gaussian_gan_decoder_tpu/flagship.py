@@ -84,9 +84,14 @@ def decode_and_render(
     raster_cfg: Optional[RasterizeConfig] = None,
     truncation_psi: float = 1.0,
     backend: str = "xla",
+    return_aux: bool = False,
 ):
     """The real-time editing hot path: latent -> gaussians -> 512^2 frame
-    (ref load_decoder.render_with_decoder, main/load_decoder.py:12-26)."""
+    (ref load_decoder.render_with_decoder, main/load_decoder.py:12-26).
+
+    return_aux=True additionally returns the raw rasterizer output dict —
+    callers on the deploy path should watch aux["n_dropped"] (tile pairs
+    lost to overflow_budget exhaustion => popping/holes in renders)."""
     cam = make_camera(image_size, jnp.asarray(fov), cam2world)
     cfg = raster_cfg or flagship_raster_config()
     if backend == "pallas" and decoder.pallas_heads:
@@ -105,6 +110,8 @@ def decode_and_render(
         decoded = EasyDict({
             name: rows[c:c + d, :M].T for name, (c, d) in layout.items()
         })
+        if return_aux:
+            return out["render"][:3], decoded, out
         return out["render"][:3], decoded
     decoded = decoder.apply(params, z, camera_params, init_position, truncation_psi)
     out = render_simple(
@@ -112,4 +119,6 @@ def decode_and_render(
         config=cfg,
         backend=backend,
     )
+    if return_aux:
+        return out["render"][:3], decoded, out
     return out["render"][:3], decoded

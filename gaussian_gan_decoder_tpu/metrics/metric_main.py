@@ -155,16 +155,19 @@ def decoder_image_batches(decoder, params, frozen_params, target_cfg, key,
 @register_metric
 def ppl2_wend(*, mapping_fn=None, synthesis_fn=None, dist_fn=None, key=None,
               c_source=None, num_samples=50_000, batch_size=8,
-              epsilon=1e-4, real_batches=None, gen_batches=None,
-              feature_fn=None, logits_fn=None, **_):
+              epsilon=1e-4, z_dim=512, c_dim=25, real_batches=None,
+              gen_batches=None, feature_fn=None, logits_fn=None, **_):
     """Perceptual Path Length, W space, endpoint sampling
     (ref PanoHead/metrics/metric_main.py:121-126 + perceptual_path_length.py).
 
-    mapping_fn(key, z, c) -> ws; synthesis_fn(ws) -> images (N,3,H,W);
-    dist_fn(a, b) -> (N,) perceptual distances (e.g. VGG16-LPIPS).
-    Endpoint sampling: t in {0, 1}; pairs are lerped in W with a t+eps
-    sibling; PPL = filtered mean of dist / eps^2 (reference filters to the
-    [1, 99] percentile band before averaging)."""
+    mapping_fn(key, z, c) -> ws; synthesis_fn(ws, c) -> images (N,3,H,W)
+    — BOTH endpoints of a pair must be synthesized under the SAME
+    conditioning c (the reference renders them in one batched synthesis
+    call); dist_fn(a, b) -> (N,) perceptual distances (e.g. VGG16-LPIPS).
+    Endpoint sampling: t = 0 exactly (reference 'end' mode) with a t+eps
+    sibling; PPL = filtered mean of dist / eps^2, filtered to the
+    [1, 99] percentile band computed with the reference's lower/higher
+    interpolation."""
     import jax
     import jax.numpy as jnp
 
@@ -174,21 +177,22 @@ def ppl2_wend(*, mapping_fn=None, synthesis_fn=None, dist_fn=None, key=None,
     dists = []
     for i in range(n_batches):
         k = jax.random.fold_in(key, i)
-        kz0, kz1, kt, kc = jax.random.split(k, 4)
-        z0 = jax.random.normal(kz0, (batch_size, 512))
-        z1 = jax.random.normal(kz1, (batch_size, 512))
-        c = (next(c_source) if c_source is not None
-             else jnp.zeros((batch_size, 25)))
+        kz0, kz1 = jax.random.split(k, 2)
+        z0 = jax.random.normal(kz0, (batch_size, z_dim))
+        z1 = jax.random.normal(kz1, (batch_size, z_dim))
+        c = (jnp.asarray(next(c_source)) if c_source is not None
+             else jnp.zeros((batch_size, c_dim)))
         w0 = mapping_fn(k, z0, c)
         w1 = mapping_fn(k, z1, c)
-        t = jax.random.bernoulli(kt, 0.5, (batch_size,)).astype(jnp.float32)
-        t = t[:, None, None] if w0.ndim == 3 else t[:, None]
-        wt0 = w0 + (w1 - w0) * t
-        wt1 = w0 + (w1 - w0) * (t + epsilon)
-        img0 = synthesis_fn(wt0)
-        img1 = synthesis_fn(wt1)
+        # 'end' sampling: t = 0 (ref perceptual_path_length.py sampling
+        # mode 'end'); the sibling lerps to t + eps
+        wt0 = w0
+        wt1 = w0 + (w1 - w0) * epsilon
+        img0 = synthesis_fn(wt0, c)
+        img1 = synthesis_fn(wt1, c)
         dists.append(np.asarray(dist_fn(img0, img1)) / (epsilon ** 2))
     d = np.concatenate(dists)
-    lo, hi = np.percentile(d, 1), np.percentile(d, 99)
+    lo = np.percentile(d, 1, method="lower")
+    hi = np.percentile(d, 99, method="higher")
     d = d[(d >= lo) & (d <= hi)]
     return {"ppl2_wend": float(d.mean())}

@@ -42,6 +42,10 @@ def make_parallel_train_step(
     Frozen nets (generator/VGG/IR-SE50) are closed over and replicated.
     """
     tx = make_optimizer(decoder, cfg)
+    # belt-and-braces vs donate_argnums: if the caller's train state was
+    # built to alias frozen_generator_params (init_train_state copies, but
+    # hand-built states may not), donation would delete these buffers
+    frozen_generator_params = jax.tree.map(jnp.copy, frozen_generator_params)
     loss_fn = make_loss_fn(
         decoder, frozen_generator_params, vgg, vgg_params, irse, irse_params,
         cfg, target_cfg, raster_cfg,

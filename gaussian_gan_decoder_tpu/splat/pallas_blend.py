@@ -18,11 +18,10 @@ Field order (rows of the field-major array):
   5 opacity, 6 r, 7 g, 8 b, 9..15 pad
 
 Saturation math identical to CUDA: alpha clamp 0.99, 1/255 cutoff,
-power>0 cutoff. The CUDA per-pixel T<1e-4 early stop has NO profitable
-WORK-SKIPPING analogue on TPU (see the note above the fori_loop) —
-saturated work is bounded by max_k; the TRAINING variant applies it as an
-alpha MASK for semantics + backward numerical safety (see
-pallas_blend_diff).
+power>0 cutoff, and the per-pixel T<1e-4 stop applied as an alpha MASK
+(both inference and training paths — the CUDA early stop has NO
+profitable WORK-SKIPPING analogue on TPU, see the note above the
+fori_loop; saturated work is bounded by max_k).
 """
 from __future__ import annotations
 
@@ -144,15 +143,17 @@ def _blend_kernel(
             (power > 0.0) | (alpha < (1.0 / 255.0)) | (~valid), 0.0, alpha
         )
         if save_entries:
-            # training variant: CUDA's per-pixel T < 1e-4 stop as an alpha
-            # MASK (keeps the fixed-trip pipeline) — also what makes the
-            # backward's transmittance replay numerically safe (T never
-            # underflows), at the cost of one extra cumprod pass
             ent_ref[0, ci, :] = trans[:, 0]
-            cp0 = _cumprod_lanes(1.0 - alpha)
-            t_before = trans * jnp.concatenate(
-                [jnp.ones_like(cp0[:, :1]), cp0[:, :-1]], axis=1)
-            alpha = jnp.where(t_before < 1e-4, 0.0, alpha)
+        # CUDA's per-pixel T < 1e-4 stop as an alpha MASK (keeps the
+        # fixed-trip pipeline; see the NOTE below the loop). Applied on
+        # BOTH the inference and training paths so train/deploy/CUDA
+        # renders agree on saturated pixels; on the training path it is
+        # also what makes the backward's transmittance replay numerically
+        # safe (T never underflows). Cost: one extra cumprod pass.
+        cp0 = _cumprod_lanes(1.0 - alpha)
+        t_before = trans * jnp.concatenate(
+            [jnp.ones_like(cp0[:, :1]), cp0[:, :-1]], axis=1)
+        alpha = jnp.where(t_before < 1e-4, 0.0, alpha)
 
         one_minus = 1.0 - alpha                # (P, CHUNK)
         cp = _cumprod_lanes(one_minus)

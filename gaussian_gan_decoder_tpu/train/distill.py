@@ -90,6 +90,11 @@ def make_optimizer(decoder: GaussianDecoder, cfg: DistillConfig) -> optax.Gradie
 def init_train_state(
     key, decoder: GaussianDecoder, generator_params, cfg: DistillConfig
 ) -> TrainState:
+    # the fine-tune copy ('G') must OWN its buffers: the parallel train
+    # step donates the state, which would otherwise delete the caller's
+    # frozen generator params through the alias (ref deepcopies at
+    # main/train_pano2gaussian_decoder.py:167 for the same reason)
+    generator_params = jax.tree.map(jnp.copy, generator_params)
     params = decoder.init(key, generator_params=generator_params)
     tx = make_optimizer(decoder, cfg)
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))

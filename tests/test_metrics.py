@@ -87,7 +87,8 @@ def test_ppl2_wend_smoke():
     def mapping_fn(key, z, c):
         return z
 
-    def synthesis_fn(ws):
+    def synthesis_fn(ws, c):
+        # c: the shared per-pair conditioning (unused by this toy G)
         return jnp.tanh(ws @ W).reshape(-1, 3, 8, 8)
 
     def dist_fn(a, b):
