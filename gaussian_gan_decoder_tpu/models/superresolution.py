@@ -64,9 +64,20 @@ class Superresolution:
         ws: jax.Array,        # (N, num_ws, 512) — only the last w is used
         noise_mode: str = "random",
         noise_key=None,
+        return_raw_alias: bool = False,
     ) -> jax.Array:
+        """return_raw_alias additionally returns the reference's MUTATED
+        image_raw, or None when no mutation occurs. The reference's
+        SynthesisBlock(NoUp) does `img = img.add_(y)` IN PLACE
+        (networks_stylegan2.py:461, superresolution.py:314); when block0
+        does not upsample and the raw image is already at input_resolution
+        (no interpolate copy), the caller's rgb tensor — returned by
+        triplane.py synthesis as `image_raw` — silently gains block0's
+        ToRGB skip. Replicated for checkpoint/loss parity; see
+        tests/test_reference_golden.py."""
         blocks = self._blocks()
         ws = jnp.repeat(ws[:, -1:, :], 3, axis=1)
+        aliases = not self.block0_up and x.shape[-1] == self.input_resolution
         if x.shape[-1] != self.input_resolution:
             x = resize_bilinear(
                 x, self.input_resolution, self.input_resolution,
@@ -82,10 +93,14 @@ class Superresolution:
         x, rgb = blocks["block0"].apply(
             params["block0"], x, rgb, ws, noise_mode=noise_mode, noise_key=k0
         )
+        raw_alias = rgb if aliases else None
         x, rgb = blocks["block1"].apply(
             params["block1"], x, rgb, ws, noise_mode=noise_mode, noise_key=k1
         )
-        return x if self.returns_features else rgb
+        out = x if self.returns_features else rgb
+        if return_raw_alias:
+            return out, raw_alias
+        return out
 
 
 _VARIANTS = {

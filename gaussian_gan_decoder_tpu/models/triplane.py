@@ -270,12 +270,19 @@ class TriPlaneGenerator:
 
     def apply_delta_c(self, params, z, c, truncation_psi=1.0, truncation_cutoff=None):
         assert self.t_mapping is not None, "apply_delta_c is PanoHead-only"
+        # NB exact reference semantics (triplane.py:109-124): when
+        # c_gen_conditioning_zero, c is REBOUND to zeros BEFORE c_new is
+        # cloned from it — so the returned camera keeps none of the input
+        # extrinsics/intrinsics (a degenerate all-zero camera + delta
+        # translation; G.forward then renders NaNs). Real PanoHead GAN
+        # configs run this path with c_gen_conditioning_zero=False, where
+        # it is a plain translation offset on the true camera.
         c_in = jnp.zeros_like(c) if self.rk["c_gen_conditioning_zero"] else c
         delta_c = self.t_mapping.apply(
             params["t_mapping"], z, c_in * self.rk.get("c_scale", 0.0),
             truncation_psi=truncation_psi, truncation_cutoff=truncation_cutoff,
         )[:, 0]  # (N, 3)
-        c_new = c.at[:, 3].add(delta_c[:, 0])
+        c_new = c_in.at[:, 3].add(delta_c[:, 0])
         c_new = c_new.at[:, 7].add(delta_c[:, 1])
         c_new = c_new.at[:, 11].add(delta_c[:, 2])
         return c_new, delta_c
@@ -362,11 +369,20 @@ class TriPlaneGenerator:
         sr_noise_mode = rk["superresolution_noise_mode"]
         if sr_noise_mode not in ("random", "none"):
             sr_noise_mode = noise_mode
-        out["image"] = self.superresolution.apply(
+        out["image"], raw_alias = self.superresolution.apply(
             params["superresolution"], rgb_image, feature_image, ws,
             noise_mode="const" if sr_noise_mode == "none" else sr_noise_mode,
             noise_key=noise_key,
+            return_raw_alias=True,
         )
+        if raw_alias is not None:
+            # reference in-place aliasing: when the SR stack consumes the
+            # raw image without resizing, its block0 ToRGB skip is added
+            # into the returned image_raw (networks_stylegan2.py:461 `img.
+            # add_(y)` mutating triplane.py:196's rgb_image). Dual
+            # discrimination trains D on this mutated raw image, so parity
+            # requires reproducing it.
+            out["image_raw"] = raw_alias.astype(jnp.float32)
         return out
 
     def synthesis(

@@ -35,8 +35,13 @@ class PersistentStub:
         self.meta = meta
         self.class_name = meta.get("class_name", "?")
         self.state = meta.get("state", {})
-        self.init_args = meta.get("init_args", ())
-        self.init_kwargs = dict(meta.get("init_kwargs", {}))
+        # persistence stores the ctor capture on the INSTANCE
+        # (state['_init_args']), not in the meta dict
+        # (ref torch_utils/persistence.py:107-124)
+        self.init_args = self.state.get("_init_args",
+                                        meta.get("init_args", ()))
+        self.init_kwargs = dict(self.state.get("_init_kwargs",
+                                               meta.get("init_kwargs", {})))
 
     def __repr__(self):
         return f"PersistentStub({self.class_name})"
@@ -202,4 +207,71 @@ def load_generator_pkl(path: str, variant: Optional[str] = None, key: str = "G_e
     assert isinstance(g, PersistentStub), type(g)
     cfg = generator_config_from_pickle(g, variant)
     params = generator_params_from_state(extract_state(g))
+    return cfg, params
+
+
+# ----------------------------------------------------------------------------
+# decoder snapshots (ref main/train_pano2gaussian_decoder.py:299-306 pickles
+# {'decoder': <persistent SequentialDecoderReverse>, 'dataloader': ...};
+# main/load_decoder.py:28-34 loads them)
+
+
+_DECODER_TYPES = {
+    "SequentialDecoderReverse": "sequential_reversed",
+    "SequentialDecoder": "sequential",
+    "ParallelDecoder": "parallel",
+}
+
+_HEAD_NAMES = ("color", "opacity", "rotation", "scale", "xyz")
+
+
+def decoder_head_params_from_state(flat: Dict[str, np.ndarray]) -> Dict:
+    """Flat torch names ({name}_decoder.backbone.{0,2,4,6}.{weight,bias},
+    ref main/decoder_models/base_decoder.py:11-19) -> decoder/heads.py
+    head-param tree ({name}/fc{0..3}/{weight,bias})."""
+    import jax.numpy as jnp
+
+    tree: Dict = {}
+    for key, arr in flat.items():
+        parts = key.split(".")
+        if len(parts) != 4 or parts[1] != "backbone":
+            continue
+        name = parts[0].removesuffix("_decoder")
+        if name not in _HEAD_NAMES:
+            continue
+        idx = int(parts[2])
+        assert idx % 2 == 0, key  # odd indices are the GELUs
+        tree.setdefault(name, {}).setdefault(f"fc{idx // 2}", {})[parts[3]] = jnp.asarray(arr)
+    return tree
+
+
+def load_decoder_pkl(path_or_file, key: str = "decoder"):
+    """Reference decoder snapshot -> (GaussianDecoder config, params pytree
+    incl. the fine-tuned generator copy under 'G').
+
+    Equivalent of main/load_decoder.py:28-34 — the snapshot's 'decoder'
+    entry is a persistence-wrapped Sequential*/ParallelDecoder whose G
+    module is embedded."""
+    from ..decoder.heads import GaussianDecoder
+
+    data = load_reference_pickle(path_or_file)
+    d = data[key] if isinstance(data, dict) else data
+    assert isinstance(d, PersistentStub), type(d)
+    g_stub = (d.state.get("_modules") or {}).get("G")
+    assert isinstance(g_stub, PersistentStub), "decoder snapshot has no G module"
+    gen = generator_config_from_pickle(g_stub)
+    decoder_type = _DECODER_TYPES.get(d.class_name)
+    assert decoder_type is not None, f"unknown decoder class {d.class_name}"
+    kw = dict(d.init_kwargs)
+    cfg = GaussianDecoder(
+        generator=gen,
+        decoder_type=decoder_type,
+        hidden_dim=int(d.state.get("hidden_dim", kw.get("hidden_dim", 128))),
+        use_xyz_embedding=bool(d.state.get("use_xyz_embedding",
+                                           kw.get("use_xyz_embedding", True))),
+        use_gen_finetune=bool(d.state.get("use_gen_finetune",
+                                          kw.get("use_gen_finetune", True))),
+    )
+    params = decoder_head_params_from_state(extract_state(d))
+    params["G"] = generator_params_from_state(extract_state(g_stub))
     return cfg, params

@@ -8,7 +8,11 @@ import jax.numpy as jnp
 from gaussian_gan_decoder_tpu.models import TriPlaneGenerator
 
 
-def tiny_generator(variant):
+def tiny_generator(variant, c_gen_conditioning_zero=True):
+    # NB with c_gen_conditioning_zero=True the PanoHead forward() path is
+    # degenerate BY REFERENCE SEMANTICS (apply_delta_c rebinds c to zeros
+    # before cloning, triplane.py:109-124); tests of the full forward use
+    # False, matching real GAN configs.
     return TriPlaneGenerator(
         z_dim=32, c_dim=25, w_dim=32, img_resolution=64, img_channels=3,
         variant=variant, without_sr=True,
@@ -17,7 +21,7 @@ def tiny_generator(variant):
             ("triplane_size", 32),
             ("depth_resolution", 8),
             ("depth_resolution_importance", 8),
-            ("c_gen_conditioning_zero", True),
+            ("c_gen_conditioning_zero", c_gen_conditioning_zero),
         ),
     )
 
@@ -34,7 +38,7 @@ def _camera_params():
 
 @pytest.mark.parametrize("variant", ["eg3d", "panohead"])
 def test_synthesis_output_shapes(variant):
-    g = tiny_generator(variant)
+    g = tiny_generator(variant, c_gen_conditioning_zero=False)
     params = g.init(jax.random.PRNGKey(0))
     z = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
     c = _camera_params()
@@ -83,7 +87,7 @@ def test_truncation_pulls_towards_w_avg():
 
 
 def test_apply_delta_c_shifts_translation():
-    g = tiny_generator("panohead")
+    g = tiny_generator("panohead", c_gen_conditioning_zero=False)
     params = g.init(jax.random.PRNGKey(0))
     z = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
     c = _camera_params()
@@ -97,6 +101,21 @@ def test_apply_delta_c_shifts_translation():
     np.testing.assert_allclose(
         np.asarray(c_new[0, unchanged]), np.asarray(c[0, unchanged])
     )
+
+
+def test_apply_delta_c_zero_conditioning_rebinds_c():
+    """Reference quirk parity (triplane.py:109-124): with
+    c_gen_conditioning_zero=True the returned camera is ZEROS + delta
+    translation (golden-tested in test_reference_golden.py)."""
+    g = tiny_generator("panohead")
+    params = g.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+    c = _camera_params()
+    c_new, delta_c = g.apply_delta_c(params, z, c)
+    unchanged = [i for i in range(25) if i not in (3, 7, 11)]
+    assert np.abs(np.asarray(c_new[0, unchanged])).max() == 0.0
+    np.testing.assert_allclose(np.asarray(c_new[0, [3, 7, 11]]),
+                               np.asarray(delta_c[0]), rtol=1e-6)
 
 
 def test_synthesis_planes_jit_and_cache_pattern():

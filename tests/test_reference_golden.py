@@ -1,0 +1,351 @@
+"""Golden parity against the ACTUAL reference code on torch-cpu.
+
+Unlike the torch-golden unit tests (which re-derive the math), these
+instantiate the reference's own modules from /root/reference, pickle them
+with the reference's own torch_utils.persistence, port the pickle through
+port/torch_pickle.py, and assert activation parity. A systematic
+misreading of any convention (grid_sample corners, plane axes, lr_mult
+folding, w_avg lerp, noise buffers, SR ws indexing) fails here.
+
+Covered reference surfaces:
+  * PanoHead/training/triplane.py:87-263 (mapping / synthesis / sample_mixed)
+  * main/decoder_models/sequential_decoder_reverse.py:38-87 (decoder fwd)
+  * main/train_pano2gaussian_decoder.py:299-306 snapshot format round-trip
+
+Stochastic depth jitter (renderer.py:250-260 torch.rand_like, :307
+torch.rand) is pinned to 0.5 on BOTH sides for the full-synthesis test.
+"""
+import io
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "PanoHead")), reason="no reference checkout"
+)
+
+for p in (REF, os.path.join(REF, "PanoHead")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from gaussian_gan_decoder_tpu.port.torch_pickle import (  # noqa: E402
+    extract_state,
+    generator_config_from_pickle,
+    generator_params_from_state,
+    load_decoder_pkl,
+    load_reference_pickle,
+)
+
+RENDERING_KWARGS = {
+    "image_resolution": 128,
+    "disparity_space_sampling": False,
+    "clamp_mode": "softplus",
+    "superresolution_module": "training.superresolution.SuperresolutionHybrid2X",
+    "c_gen_conditioning_zero": True,
+    "gpc_reg_prob": 0.5,
+    "c_scale": 1.0,
+    "superresolution_noise_mode": "none",
+    "density_reg": 0.25,
+    "density_reg_p_dist": 0.004,
+    "reg_type": "l1",
+    "decoder_lr_mul": 1.0,
+    "decoder_activation": "lrelu",
+    "sr_antialias": True,
+    "use_torgb_raw": True,
+    "use_background": True,
+    "triplane_size": 32,
+    "triplane_depth": 3,
+    "depth_resolution": 8,
+    "depth_resolution_importance": 8,
+    "ray_start": "auto",
+    "ray_end": "auto",
+    "box_warp": 1.0,
+    "avg_camera_radius": 2.7,
+    "avg_camera_pivot": [0, 0, 0.2],
+    "white_back": False,
+}
+
+
+def _build_ref_generator(c_gen_conditioning_zero=True):
+    import dnnlib
+    from training.triplane import TriPlaneGenerator as RefG
+
+    torch.manual_seed(0)
+    rk = dict(RENDERING_KWARGS)
+    rk["c_gen_conditioning_zero"] = c_gen_conditioning_zero
+    G = RefG(
+        z_dim=64, c_dim=25, w_dim=512, img_resolution=128, img_channels=3,
+        sr_num_fp16_res=0,
+        mapping_kwargs=dnnlib.EasyDict(num_layers=2),
+        rendering_kwargs=rk,
+        sr_kwargs=dnnlib.EasyDict(channel_base=1024, channel_max=64,
+                                  fused_modconv_default="inference_only"),
+        channel_base=1024, channel_max=64, num_fp16_res=0, conv_clamp=None,
+    ).eval()
+    with torch.no_grad():
+        # non-trivial w_avg so truncation lerp is exercised
+        G.backbone.mapping.w_avg.copy_(torch.randn(512) * 0.3)
+    return G
+
+
+def _camera(yaw=0.0):
+    cam2world = np.eye(4, dtype=np.float32)
+    cam2world[:3, :3] = np.diag([-1.0, 1.0, -1.0])
+    cam2world[2, 3] = 2.7
+    intr = np.array([[4.26, 0, 0.5], [0, 4.26, 0.5], [0, 0, 1]], np.float32)
+    return np.concatenate([cam2world.reshape(-1), intr.reshape(-1)])[None].astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def ported():
+    """(ref torch G, our config, our params) round-tripped through the
+    reference's own persistence pickle."""
+    G = _build_ref_generator()
+    buf = pickle.dumps({"G_ema": G})
+    data = load_reference_pickle(io.BytesIO(buf))
+    stub = data["G_ema"]
+    gen = generator_config_from_pickle(stub)
+    params = generator_params_from_state(extract_state(stub))
+    return G, gen, params
+
+
+def test_config_port(ported):
+    G, gen, params = ported
+    assert gen.variant == "panohead"
+    assert gen.num_ws == G.backbone.num_ws
+    assert gen.z_dim == 64 and gen.w_dim == 512
+    assert gen.rk["triplane_depth"] == 3
+    # every reference parameter must land somewhere in our tree
+    n_ref = sum(p.numel() for p in G.parameters()) + sum(
+        b.numel() for b in G.buffers() if b.dtype.is_floating_point
+    )
+    n_ours = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+    # resample_filter constants are config (not params) on our side
+    n_filters = sum(
+        b.numel() for n, b in G.named_buffers() if n.endswith("resample_filter")
+    )
+    assert n_ours == n_ref - n_filters
+
+
+def test_mapping_golden(ported):
+    G, gen, params = ported
+    z = np.random.RandomState(1).randn(1, 64).astype(np.float32)
+    c = _camera()
+    with torch.no_grad():
+        ws_ref = G.mapping(torch.from_numpy(z), torch.from_numpy(c),
+                           truncation_psi=0.7).numpy()
+    ws = np.asarray(gen.mapping(params, jnp.asarray(z), jnp.asarray(c),
+                                truncation_psi=0.7))
+    np.testing.assert_allclose(ws, ws_ref, atol=5e-6)
+
+
+def test_synthesis_planes_golden(ported):
+    G, gen, params = ported
+    ws = _ws(G)
+    with torch.no_grad():
+        planes_ref = G.backbone.synthesis(torch.from_numpy(ws), noise_mode="const").numpy()
+    planes = np.asarray(gen.synthesis_planes(params, jnp.asarray(ws)))
+    np.testing.assert_allclose(
+        planes, planes_ref.reshape(planes.shape), atol=2e-4
+    )
+
+
+def _ws(G):
+    z = np.random.RandomState(1).randn(1, 64).astype(np.float32)
+    with torch.no_grad():
+        return G.mapping(torch.from_numpy(z), torch.from_numpy(_camera()),
+                         truncation_psi=0.7).numpy()
+
+
+def test_sample_mixed_golden(ported):
+    G, gen, params = ported
+    ws = _ws(G)
+    coords = (np.random.RandomState(2).rand(1, 1000, 3).astype(np.float32) - 0.5) * 0.9
+    dirs = np.zeros_like(coords)
+    with torch.no_grad():
+        sm_ref = G.sample_mixed(torch.from_numpy(coords), torch.from_numpy(dirs),
+                                torch.from_numpy(ws), noise_mode="const")
+    sm = gen.sample_mixed(params, jnp.asarray(coords), jnp.asarray(dirs),
+                          jnp.asarray(ws))
+    np.testing.assert_allclose(np.asarray(sm["sigma"]), sm_ref["sigma"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sm["rgb"]), sm_ref["rgb"].numpy(), atol=2e-4)
+
+
+def _pin_jitter(monkeypatch):
+    """Pin BOTH frameworks' depth jitter / importance u to 0.5."""
+    monkeypatch.setattr(torch, "rand_like", lambda t: torch.full_like(t, 0.5))
+    monkeypatch.setattr(
+        torch, "rand",
+        lambda *shape, **kw: torch.full(
+            shape[0] if len(shape) == 1 and isinstance(shape[0], (tuple, list))
+            else shape, 0.5,
+            device=kw.get("device"), dtype=kw.get("dtype"),
+        ),
+    )
+    real_uniform = jax.random.uniform
+
+    def fake_uniform(key, shape=(), dtype=float, minval=0.0, maxval=1.0):
+        del key
+        return jnp.full(shape, 0.5, dtype if dtype is not float else jnp.float32)
+
+    monkeypatch.setattr(jax.random, "uniform", fake_uniform)
+    return real_uniform
+
+
+def test_full_synthesis_golden(ported, monkeypatch):
+    """image_raw / image / image_depth / image_mask with pinned jitter —
+    covers ray sampling, tri-grid probe, OSG decoder, MipRayMarcher,
+    background forcing, raw ToRGB and the SR stack end-to-end
+    (ref triplane.py:128-225)."""
+    G, gen, params = ported
+    ws = _ws(G)
+    c = _camera()
+    _pin_jitter(monkeypatch)
+    with torch.no_grad():
+        out_ref = G.synthesis(torch.from_numpy(ws), torch.from_numpy(c),
+                              noise_mode="const")
+    out = gen.synthesis(params, jnp.asarray(ws), jnp.asarray(c),
+                        neural_rendering_resolution=64)
+    for k, atol in [("image_raw", 5e-4), ("image_depth", 5e-4),
+                    ("image_mask", 5e-4), ("image", 1e-3)]:
+        a = out_ref[k].numpy()
+        b = np.asarray(out[k])
+        assert a.shape == b.shape, k
+        np.testing.assert_allclose(b, a, atol=atol, err_msg=k)
+
+
+def test_forward_delta_c_golden(monkeypatch):
+    """Full G.forward: mapping + t_mapping self-adaptive camera shift +
+    synthesis (ref triplane.py:99-126, 265-293). Uses
+    c_gen_conditioning_zero=False — the GAN-training config where the
+    delta-c path yields a usable camera (with True, the reference
+    rebinds c to zeros before cloning, rendering from a degenerate
+    camera; see test_delta_c_zero_conditioning_quirk)."""
+    G = _build_ref_generator(c_gen_conditioning_zero=False)
+    buf = pickle.dumps({"G_ema": G})
+    stub = load_reference_pickle(io.BytesIO(buf))["G_ema"]
+    gen = generator_config_from_pickle(stub)
+    params = generator_params_from_state(extract_state(stub))
+    z = np.random.RandomState(3).randn(1, 64).astype(np.float32)
+    c = _camera()
+    _pin_jitter(monkeypatch)
+    with torch.no_grad():
+        out_ref = G(torch.from_numpy(z), torch.from_numpy(c),
+                    truncation_psi=0.7, noise_mode="const")
+    out = gen.apply(params, jnp.asarray(z), jnp.asarray(c), truncation_psi=0.7,
+                    neural_rendering_resolution=64)
+    np.testing.assert_allclose(
+        np.asarray(out["image_raw"]), out_ref["image_raw"].numpy(), atol=5e-4
+    )
+
+
+def test_delta_c_zero_conditioning_quirk(ported):
+    """With c_gen_conditioning_zero=True, apply_delta_c returns the
+    ZEROED camera + delta translation — the reference rebinds c before
+    cloning (triplane.py:109-124). Parity includes the quirk."""
+    G, gen, params = ported
+    z = np.random.RandomState(3).randn(1, 64).astype(np.float32)
+    c = _camera()
+    with torch.no_grad():
+        c_ref, dc_ref = G.apply_delta_c(torch.from_numpy(z), torch.from_numpy(c),
+                                        truncation_psi=0.7)
+    c_new, dc = gen.apply_delta_c(params, jnp.asarray(z), jnp.asarray(c),
+                                  truncation_psi=0.7)
+    np.testing.assert_allclose(np.asarray(dc), dc_ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_new), c_ref.numpy(), atol=1e-5)
+    # the quirk: everything except the delta translation is zero
+    assert np.abs(np.asarray(c_new)[:, 16:]).max() == 0.0
+
+
+# ----------------------------------------------------------------------------
+# decoder snapshot round-trip (main/)
+
+
+def _build_ref_decoder(use_xyz_embedding: bool):
+    from main.decoder_models.sequential_decoder_reverse import (
+        SequentialDecoderReverse,
+    )
+
+    G = _build_ref_generator()
+    torch.manual_seed(7)
+    dec = SequentialDecoderReverse(G, hidden_dim=32,
+                                   use_xyz_embedding=use_xyz_embedding,
+                                   use_gen_finetune=True, device="cpu").eval()
+    # the reference train script sets this attr externally; forward reads it
+    # (sequential_decoder_reverse.py:58 — the known dead-attribute defect)
+    dec.triplane_sr = "None"
+    return dec
+
+
+def _assert_decoder_forward_parity(dec, cfg, params):
+    z = np.random.RandomState(5).randn(1, 64).astype(np.float32)
+    c = _camera()
+    pos = ((np.random.RandomState(6).rand(500, 3) - 0.5) * 0.8).astype(np.float32)
+    with torch.no_grad():
+        ref_out = dec(torch.from_numpy(z), torch.from_numpy(c),
+                      torch.from_numpy(pos), truncation_psi=0.8)
+    out = cfg.apply(params, jnp.asarray(z), jnp.asarray(c), jnp.asarray(pos),
+                    truncation_psi=0.8)
+    for k in ["color", "opacity", "rotation", "scale", "xyz"]:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), ref_out[k].numpy(), atol=5e-4, err_msg=k
+        )
+
+
+def test_decoder_snapshot_golden():
+    """Snapshot-format round trip (train_pano2gaussian_decoder.py:299-306)
+    + forward parity of the ported decoder.
+
+    use_xyz_embedding=False: with the embedding on, the reference's own
+    snapshot pickling crashes (Embedder.frequency_activation closures are
+    unpicklable, main/decoder_utils/pos_encoding.py:44-47) — deployable
+    reference snapshots necessarily avoid it or patch around it."""
+    dec = _build_ref_decoder(use_xyz_embedding=False)
+    buf = pickle.dumps({"decoder": dec, "training_options": {}})
+    cfg, params = load_decoder_pkl(io.BytesIO(buf))
+    assert cfg.decoder_type == "sequential_reversed"
+    assert cfg.hidden_dim == 32
+    assert not cfg.use_xyz_embedding
+    assert cfg.use_gen_finetune
+    assert cfg.generator.rk["triplane_depth"] == 3
+    _assert_decoder_forward_parity(dec, cfg, params)
+
+
+def test_ref_decoder_embedder_unconstructible():
+    """Document the reference defect: SequentialDecoderReverse with
+    use_xyz_embedding=True cannot even be CONSTRUCTED — persistence's
+    init-time pickleability check (torch_utils/persistence.py:110)
+    rejects Embedder.frequency_activation's closures
+    (main/decoder_utils/pos_encoding.py:44-47). The reference train
+    script only survives because --use_pos_encoding defaults to False.
+    Our GaussianDecoder(use_xyz_embedding=True) has no such restriction
+    (unit-tested in tests/test_decoder.py)."""
+    with pytest.raises(AttributeError, match="frequency_activation"):
+        _build_ref_decoder(use_xyz_embedding=True)
+
+
+def test_embedder_golden():
+    """Positional-encoding parity vs the reference Embedder class itself
+    (main/decoder_utils/pos_encoding.py — linear band spacing)."""
+    from main.decoder_utils.pos_encoding import Embedder as RefEmbedder
+
+    from gaussian_gan_decoder_tpu.decoder.pos_encoding import Embedder
+
+    ref = RefEmbedder(include_input=True, input_dims=3, num_freqs=10)
+    ours = Embedder(include_input=True, input_dims=3, num_freqs=10)
+    assert ours.out_dim == ref.out_dim == 63
+    x = ((np.random.RandomState(8).rand(200, 3) - 0.5) * 2).astype(np.float32)
+    a = ref(torch.from_numpy(x)).numpy()
+    b = np.asarray(ours(jnp.asarray(x)))
+    # fp32 rounding of x*freq at freq=512 shifts sin/cos by up to
+    # ~eps*512 ≈ 6e-5 (torch stays f32; we compute the product in f64)
+    np.testing.assert_allclose(b, a, atol=1e-4)
