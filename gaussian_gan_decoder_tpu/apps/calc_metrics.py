@@ -22,7 +22,11 @@ def main(argv=None):
     p.add_argument("--checkpoint", default="", help="decoder snapshot (decoder-FID)")
     p.add_argument("--num_items", type=int, default=50_000)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--vgg_weights", default="", help="embedder weights")
+    p.add_argument("--vgg_weights", default="", help="fallback embedder weights")
+    p.add_argument("--inception", default="",
+                   help="InceptionV3 state dict (.pth, pytorch-fid naming) — "
+                        "makes fid/kid/pr comparable to published numbers "
+                        "and enables is50k")
     p.add_argument("--force_cpu", action="store_true")
     args = p.parse_args(argv)
     if args.force_cpu:
@@ -47,26 +51,35 @@ def main(argv=None):
             labs = np.stack([ds.get_label(next(sampler)) for _ in range(args.batch)])
             yield labs.astype(np.float32)
 
-    vgg = VGG16LPIPS()
-    vgg_params = (
-        vgg.load_torch_state_dict(dict(np.load(args.vgg_weights)))
-        if args.vgg_weights else vgg.init(jax.random.PRNGKey(7))
-    )
-    if not args.vgg_weights:
-        print("WARNING: random-weight embedder — metric values are only "
-              "comparable across runs of THIS framework with the same seed")
+    logits_fn = None
+    if args.inception:
+        # the role the reference's torchscript Inception plays for every
+        # metric (eg3d/metrics/metric_utils.py get_feature_detector)
+        from ..metrics.inception import load_inception
 
-    from ..losses.image import area_downsample
+        inet, iparams = load_inception(args.inception)
+        feat = jax.jit(lambda x: inet.features(iparams, jnp.asarray(x, jnp.float32)))
+        logits_fn = jax.jit(
+            lambda x: inet.logits(iparams, jnp.asarray(x, jnp.float32))
+        )
+    else:
+        vgg = VGG16LPIPS()
+        vgg_params = (
+            vgg.load_torch_state_dict(dict(np.load(args.vgg_weights)))
+            if args.vgg_weights else vgg.init(jax.random.PRNGKey(7))
+        )
+        if not args.vgg_weights:
+            print("WARNING: random-weight embedder — metric values are only "
+                  "comparable across runs of THIS framework with the same seed")
 
-    @jax.jit
-    def _feat(x):
-        x = jnp.asarray(x, jnp.float32)
-        if x.shape[-1] > 256 and x.shape[-1] % 256 == 0:
-            x = area_downsample(x, 256)
-        return vgg.pooled_features(vgg_params, x)
+        from ..losses.image import area_downsample
 
-    # per-resolution jit cache; pooled features are resolution-independent
-    feat = _feat
+        @jax.jit
+        def feat(x):
+            x = jnp.asarray(x, jnp.float32)
+            if x.shape[-1] > 256 and x.shape[-1] % 256 == 0:
+                x = area_downsample(x, 256)
+            return vgg.pooled_features(vgg_params, x)
 
     if args.checkpoint:
         from ..decoder.snapshot import load_decoder
@@ -113,7 +126,8 @@ def main(argv=None):
                           num_samples=args.num_items, batch_size=args.batch,
                           z_dim=gen.z_dim, c_dim=gen.c_dim)
         r = calc_metric(m, real_batches=real_batches(), gen_batches=gen_batches,
-                        feature_fn=feat, num_items=args.num_items, **kwargs)
+                        feature_fn=feat, logits_fn=logits_fn,
+                        num_items=args.num_items, **kwargs)
         out.update(r["results"])
         print(json.dumps(r))
     print(json.dumps(out, indent=2))

@@ -6,9 +6,10 @@ feature loops of metric_utils.py, including the eg3d fork's DECODER path
 (eg3d/metrics/metric_utils.py:286-322 + calc_metrics.py:57-100): instead
 of G(z, c) volume rendering, samples flow through decode -> splat render.
 
-Inception Score needs a CLASSIFIER; the reference's torchscript Inception
-is unfetchable here, so is50k accepts any `logits_fn` and reports NaN when
-none is supplied (documented) — fid/kid/pr run on any feature embedder.
+Feature embedder: metrics take any `feature_fn` / `logits_fn`; the
+reference-comparable choice is the ported InceptionV3
+(metrics/inception.py + a pytorch-fid state dict — see apps/calc_metrics
+--inception). Without a classifier, is50k reports NaN (documented).
 """
 from __future__ import annotations
 
