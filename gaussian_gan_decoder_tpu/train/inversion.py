@@ -43,11 +43,13 @@ class ProjectConfig:
 
 def _lr_schedule(step, cfg: ProjectConfig):
     """(ref projector_withseg.py:122-129)"""
-    t = step / cfg.num_steps
+    # f32 throughout: an int64 `step` (x64 mode) would otherwise promote
+    # the lr and then the whole Adam state to f64 mid-scan
+    t = jnp.float32(step) / cfg.num_steps
     ramp = jnp.minimum(1.0, (1.0 - t) / cfg.lr_rampdown_length)
     ramp = 0.5 - 0.5 * jnp.cos(ramp * jnp.pi)
     ramp = ramp * jnp.minimum(1.0, t / cfg.lr_rampup_length)
-    return cfg.initial_learning_rate * ramp
+    return (cfg.initial_learning_rate * ramp).astype(jnp.float32)
 
 
 def compute_w_stats(gen: TriPlaneGenerator, gen_params, key, n_samples: int = 10_000):
