@@ -82,6 +82,8 @@ def build_argparser():
     p.add_argument("--run_name", default="test")
     p.add_argument("--save_model_interval", type=int, default=25_000)
     p.add_argument("--logging_interval", type=int, default=1_000)
+    p.add_argument("--use_wandb", action=argparse.BooleanOptionalAction,
+                   default=False)
     p.add_argument("--outdir", default="./results")
     # scale-down knobs for smoke runs
     p.add_argument("--num_points", type=int, default=500_000)
@@ -209,7 +211,10 @@ def main(argv=None):
     number = len(os.listdir(args.outdir))
     outdir = os.path.join(args.outdir, f"run{args.run_name}_{number}")
     os.makedirs(outdir, exist_ok=True)
-    stats_f = open(os.path.join(outdir, "stats.jsonl"), "a")
+    from ..utils.loggers import TrainLogger
+
+    logger = TrainLogger(outdir, use_wandb=args.use_wandb,
+                         run_name=f"run{args.run_name}_{number}")
     with open(os.path.join(outdir, "training_options.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
 
@@ -245,7 +250,6 @@ def main(argv=None):
 
     # -- loop ---------------------------------------------------------------------
     z = None
-    t_last = time.time()
     for i in range(int(state.step), args.num_iter):
         key, kz, kstep = jax.random.split(key, 3)
         if batch_views > 0:
@@ -259,13 +263,13 @@ def main(argv=None):
             state, metrics, aux = step_fn(state, kstep, z, jnp.asarray(i))
 
         if i % 50 == 0:
-            row = {k: float(v) for k, v in metrics.items()}
-            row["step"] = i
-            row["wall"] = time.time() - t_last
-            t_last = time.time()
-            stats_f.write(json.dumps(row) + "\n")
-            stats_f.flush()
+            row = logger.log_scalars(i, metrics)
             print(f"[{i}] total={row['Loss/total']:.4f} L1={row['Loss/L1']:.4f}")
+
+        if i % args.logging_interval == 0 and batch_views == 0:
+            # render|target compare grid (ref train_pano2gaussian_decoder.py
+            # :268-275) — aux images were previously computed and dropped
+            logger.log_compare_image(i, aux["image"], aux["target"])
 
         if i % args.save_model_interval == 0 and i > 0:
             save_decoder(os.path.join(outdir, f"decoder_{i:06d}"), decoder,
@@ -280,11 +284,12 @@ def main(argv=None):
         vgg, vgg_params, irse, irse_params,
         eval_steps=min(args.eval_steps, 100), cfg=cfg, target_cfg=tcfg, raster_cfg=rcfg,
     )
-    stats_f.write(json.dumps({"final_eval": metrics}) + "\n")
+    logger.write_raw({"final_eval": metrics})
     print(json.dumps(metrics, indent=2))
     save_decoder(os.path.join(outdir, "decoder_final"), decoder, state.params,
                  frozen_generator_params=frozen_params,
                  target_cfg=tcfg, extra_configs={"distill_cfg": cfg})
+    logger.close()
 
 
 if __name__ == "__main__":

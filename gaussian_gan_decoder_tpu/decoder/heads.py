@@ -101,12 +101,21 @@ class GaussianDecoder:
     use_xyz_embedding: bool = False
     use_gen_finetune: bool = True
     bf16_sampling: bool = False   # bf16 brick gathers (speed; ~2^-8 feat err)
+    int8_sampling: bool = False   # int8 brick gathers with per-channel
+    # scales: 256B rows gather ~1.7x faster than bf16 512B rows (row-rate
+    # is byte-bound at flagship table sizes); ~2^-7 relative feature err
     pallas_heads: bool = False    # fused VMEM-resident head chain (inference)
     gelu: str = "exact"           # 'exact' (torch parity) | 'poly' (1.2e-4
     # max dev, no transcendentals — the exact erf costs 5.5 ms/frame in the
     # fused chain) | 'tanh' (jax.nn.gelu default approximation)
     heads_bf16: bool = False      # bf16 matmuls inside the fused heads
     pallas_sampling: bool = False  # Pallas streaming brick-table build
+
+    @property
+    def _brick_dtype(self):
+        if self.int8_sampling:
+            return jnp.int8
+        return jnp.bfloat16 if self.bf16_sampling else None
 
     @property
     def embedder(self) -> Optional[Embedder]:
@@ -158,7 +167,7 @@ class GaussianDecoder:
         feats = sample_from_planes(
             g.renderer.plane_axes, planes, init_position[None],
             box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
-            brick_dtype=jnp.bfloat16 if self.bf16_sampling else None,
+            brick_dtype=self._brick_dtype,
             pallas_build=self.pallas_sampling and g.triplane_depth > 1,
         )[0]  # (n_planes, M, 32)
 
@@ -233,7 +242,7 @@ class GaussianDecoder:
         feats = sample_from_planes(
             g.renderer.plane_axes, planes, init_position[None],
             box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
-            brick_dtype=jnp.bfloat16 if self.bf16_sampling else None,
+            brick_dtype=self._brick_dtype,
             pallas_build=self.pallas_sampling and g.triplane_depth > 1,
         )[0]
         cond = self.embedder(init_position) if self.use_xyz_embedding else init_position
@@ -263,7 +272,7 @@ class GaussianDecoder:
         feats = sample_from_planes(
             g.renderer.plane_axes, planes, init_position[None],
             box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
-            brick_dtype=jnp.bfloat16 if self.bf16_sampling else None,
+            brick_dtype=self._brick_dtype,
             pallas_build=self.pallas_sampling and g.triplane_depth > 1,
         )[0]
         cond = self.embedder(init_position) if self.use_xyz_embedding else init_position

@@ -42,6 +42,11 @@ def flagship_decoder(
         decoder_type="sequential_reversed",
         hidden_dim=hidden_dim,
         bf16_sampling=bf16_sampling,
+        # int8 bricks: 256B gather rows run ~1.7x faster than bf16 512B
+        # rows (row-rate is byte-bound at the 280k-row flagship tables);
+        # ~2^-7 relative feature error (error-budget test in
+        # tests/test_neuralfield.py)
+        int8_sampling=pallas_heads,
         pallas_heads=pallas_heads,
         heads_bf16=pallas_heads,
         pallas_sampling=pallas_heads,
@@ -56,7 +61,9 @@ def flagship_raster_config() -> RasterizeConfig:
     # areas are almost always 1-2 tiles: 2 structural copies + overflow lane
     return RasterizeConfig(
         tile_size=16, max_pairs=2 ** 21, tile_capacity=1024, chunk=64,
-        static_copies=2, overflow_budget=2 ** 16, bf16_colors=True,
+        # overflow demand measured ~96.4k pairs at copies=2 (area histogram
+        # is {1: 47%, 2: 43%, 4: 10%}): 2^17 leaves headroom, n_dropped = 0
+        static_copies=2, overflow_budget=2 ** 17, bf16_colors=True,
     )
 
 

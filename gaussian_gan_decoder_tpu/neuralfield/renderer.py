@@ -67,16 +67,39 @@ def build_plane_table(
     """Precompute the corner-brick expansion once so repeated probes of the
     SAME planes (sigma grid chunks, coarse+importance render passes) skip
     the rebuild — inside a lax.map/scan body XLA does NOT reliably hoist
-    the loop-invariant expansion, so each chunk would pay it again."""
+    the loop-invariant expansion, so each chunk would pay it again.
+
+    brick_dtype=jnp.int8 quantizes the tri-grid table rows with per
+    (plane, channel) symmetric scales: the 256-byte rows gather at
+    ~9.7 ms/frame vs 16.2 ms for 512-byte bf16 rows at flagship scale
+    (TPU gathers are row-rate bound; bytes set the rate) — at ~2^-7
+    relative feature error. Scales ride in the table tuple."""
     N, n_planes, CD, H, W = plane_features.shape
     C, D = CD // triplane_depth, triplane_depth
-    if brick_dtype is not None:
-        plane_features = plane_features.astype(brick_dtype)
+    int8 = brick_dtype == jnp.int8
+    if int8:
+        assert triplane_depth > 1, "int8 bricks: tri-grid path only"
+        # expand in bf16 (the Pallas build kernel's layout), quantize after
+        build_dtype = jnp.bfloat16
+    else:
+        build_dtype = brick_dtype
+    if build_dtype is not None:
+        plane_features = plane_features.astype(build_dtype)
     if triplane_depth == 1:
         feats = plane_features.reshape(N * n_planes, C, H, W)
         return _bilinear_table(feats)
     feats = plane_features.reshape(N * n_planes, C, D, H, W)
-    return _trilinear_table(feats, pallas_build and triplane_depth > 1)
+    e, NY = _trilinear_table(feats, pallas_build and triplane_depth > 1)
+    if not int8:
+        return (e, NY)
+    # per (plane, channel) scale from the RAW volume (the expanded table
+    # has pad-garbage rows that must not inflate the scale)
+    absmax = jnp.max(jnp.abs(feats.astype(jnp.float32)), axis=(2, 3, 4))
+    scales = jnp.maximum(absmax / 127.0, 1e-12)           # (B, C)
+    inv = (1.0 / scales)
+    q = e.astype(jnp.float32) * jnp.tile(inv, (1, 8))[:, None, :]
+    e_i8 = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+    return (e_i8, NY, scales)
 
 
 def sample_from_planes(
@@ -113,16 +136,13 @@ def sample_from_planes(
     proj = project_onto_planes(plane_axes, coordinates)  # (N, P, M, 3)
     proj = proj.reshape(N * n_planes, M, 3)
 
-    out_dtype = plane_features.dtype
+    out_dtype = (jnp.float32 if brick_dtype == jnp.int8
+                 else plane_features.dtype)
     if table is None:
-        if brick_dtype is not None:
-            plane_features = plane_features.astype(brick_dtype)
-        if triplane_depth == 1:
-            feats = plane_features.reshape(N * n_planes, C, H, W)
-            table = _bilinear_table(feats)
-        else:
-            feats = plane_features.reshape(N * n_planes, C, D, H, W)
-            table = _trilinear_table(feats, pallas_build and triplane_depth > 1)
+        table = build_plane_table(
+            plane_features.reshape(N, n_planes, CD, H, W), triplane_depth,
+            brick_dtype=brick_dtype, pallas_build=pallas_build,
+        )
     if triplane_depth == 1:
         out = _bilinear_sample_table(table, C, H, W, proj[..., :2])
     else:
@@ -224,15 +244,20 @@ def _trilinear_table(feats, pallas_build: bool = False):
 
 
 def _trilinear_sample_table(table, C, D, H, W, grid):
-    """table from _trilinear_table; grid (B, M, 3) in [-1,1] -> (B, M, C)."""
-    e, NY = table
+    """table from build_plane_table ((e, NY) float or (e, NY, scales)
+    int8); grid (B, M, 3) in [-1,1] -> (B, M, C)."""
+    e, NY = table[0], table[1]
+    scales = table[2] if len(table) > 2 else None   # (B, C) int8 dequant
     B = e.shape[0]
     ix, wx, vx0, vx1 = _corner_weights_1d(grid[..., 0], W)
     iy, wy, vy0, vy1 = _corner_weights_1d(grid[..., 1], H)
     iz, wz, vz0, vz1 = _corner_weights_1d(grid[..., 2], D)
     idx = (iz * NY + iy) * (W + 1) + ix
 
-    def combine(rows, wxb, wyb, wzb, vx0b, vx1b, vy0b, vy1b, vz0b, vz1b):
+    wdt = jnp.float32 if scales is not None else e.dtype
+
+    def combine(rows, wxb, wyb, wzb, vx0b, vx1b, vy0b, vy1b, vz0b, vz1b,
+                scale_b=None):
         # NO barrier before the 8-corner combine: XLA keeps it as one
         # fusion over a single gather; materializing rows (768 MB at
         # flagship) measured +13 ms
@@ -240,7 +265,7 @@ def _trilinear_sample_table(table, C, D, H, W, grid):
         wxb = wxb[..., None]
         wyb = wyb[..., None]
         wzb = wzb[..., None]
-        m = lambda v: v[..., None].astype(rows.dtype)  # noqa: E731
+        m = lambda v: v[..., None].astype(wdt)  # noqa: E731
         vz = (vz0b, vz1b)
         vy = (vy0b, vy1b)
         vx = (vx0b, vx1b)
@@ -252,8 +277,12 @@ def _trilinear_sample_table(table, C, D, H, W, grid):
         for dz in (0, 1):
             for dy in (0, 1):
                 for dx in (0, 1):
-                    out = out + cs[k] * m(vz[dz] & vy[dy] & vx[dx]) * wzs[dz] * wys[dy] * wxs[dx]
+                    out = out + (cs[k].astype(wdt)
+                                 * m(vz[dz] & vy[dy] & vx[dx])
+                                 * wzs[dz] * wys[dy] * wxs[dx])
                     k += 1
+        if scale_b is not None:  # int8 dequant (per plane, channel)
+            out = out * scale_b[None, :]
         return out
 
     wargs = (wx, wy, wz, vx0, vx1, vy0, vy1, vz0, vz1)
@@ -262,9 +291,11 @@ def _trilinear_sample_table(table, C, D, H, W, grid):
         # 13.1 ns/row vs 9.1 ns/row for plain takes — ~6 ms/frame at
         # flagship (3 planes x 500k rows)
         return jnp.stack(
-            [combine(jnp.take(e[b], idx[b], axis=0), *(a[b] for a in wargs))
+            [combine(jnp.take(e[b], idx[b], axis=0), *(a[b] for a in wargs),
+                     scale_b=None if scales is None else scales[b])
              for b in range(B)]
         )
+    assert scales is None, "int8 path uses the unrolled per-plane takes"
     rows = jax.vmap(lambda ee, ii: jnp.take(ee, ii, axis=0))(e, idx)  # (B, M, 8C)
     return jax.vmap(combine)(rows, *wargs)
 

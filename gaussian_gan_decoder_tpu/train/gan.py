@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.discriminator import Discriminator
+from ..models.discriminator import Discriminator, filtered_resizing
 from ..models.triplane import TriPlaneGenerator
 
 
@@ -124,7 +124,42 @@ def make_gan_train_step(
     g_tx = _adam(cfg.g_lr, cfg.g_reg_interval)
     d_tx = _adam(cfg.d_lr, cfg.d_reg_interval)
 
-    def run_G(g_params, key, z, c, swapping_prob, nrr):
+    # -- neural-rendering-resolution fade INSIDE the jitted step --------------
+    # (ref loss.py:93-98 + training_loop.py fade kimg). The reference
+    # recomputes an int nrr per step on the host — under jit that is a
+    # recompile per distinct value. TPU-native form: quantize the fade to
+    # multiples of 8 and lax.switch over the (static-shape) levels; the
+    # raw/depth/mask outputs are resized to the FINAL level inside each
+    # branch so every branch returns identical shapes. One compiled
+    # program covers the whole fade; D's own filtered_resizing to fixed
+    # sizes (models/discriminator.py:274-278) is unchanged.
+    nrr_init = cfg.neural_rendering_resolution_initial
+    nrr_final = cfg.neural_rendering_resolution_final
+    fading = (
+        nrr_final is not None
+        and nrr_final != nrr_init
+        and cfg.neural_rendering_resolution_fade_kimg > 0
+    )
+    if fading:
+        lo, hi = sorted((nrr_init, nrr_final))
+        nrr_levels = tuple(range(lo, hi, 8)) + (hi,)
+        if nrr_init > nrr_final:
+            nrr_levels = tuple(reversed(nrr_levels))
+    else:
+        nrr_levels = (nrr_init,)
+
+    def nrr_level_index(cur_nimg):
+        """Traced index into nrr_levels for the reference's rint fade."""
+        if not fading:
+            return jnp.zeros((), jnp.int32)
+        alpha = jnp.minimum(
+            cur_nimg / (cfg.neural_rendering_resolution_fade_kimg * 1e3), 1.0
+        )
+        nrr_t = jnp.round(nrr_init + (nrr_final - nrr_init) * alpha)
+        levels = jnp.asarray(nrr_levels, jnp.float32)
+        return jnp.argmin(jnp.abs(levels - nrr_t)).astype(jnp.int32)
+
+    def run_G(g_params, key, z, c, swapping_prob, nrr_idx):
         k_swap, k_render = jax.random.split(key)
         c_cond = swap_conditioning(k_swap, c, swapping_prob)
         ws = G.mapping(g_params, z, c_cond)
@@ -132,11 +167,33 @@ def make_gan_train_step(
             c_new, delta_c = G.apply_delta_c(g_params, z, c)
         else:
             c_new, delta_c = c, jnp.zeros((c.shape[0], 3))
-        out = G.synthesis(g_params, ws, c_new, neural_rendering_resolution=nrr,
-                          key=k_render)
-        if "image" not in out:  # without_sr generators: raw == final
-            out = dict(out)
-            out["image"] = out["image_raw"]
+
+        out_res = max(nrr_levels)
+
+        def synth_at(nrr):
+            def branch():
+                out = G.synthesis(g_params, ws, c_new,
+                                  neural_rendering_resolution=nrr,
+                                  key=k_render)
+                out = dict(out)
+                out.pop("feature_planes", None)
+                if nrr != out_res:
+                    for k in ("image_raw", "image_depth", "image_mask"):
+                        if k in out:
+                            out[k] = filtered_resizing(
+                                out[k], out_res, cfg.filter_mode
+                            )
+                if "image" not in out:  # without_sr: raw == final (alias
+                    # AFTER the resize so every branch agrees on shape)
+                    out["image"] = out["image_raw"]
+                return out
+
+            return branch
+
+        if len(nrr_levels) == 1:
+            out = synth_at(nrr_levels[0])()
+        else:
+            out = jax.lax.switch(nrr_idx, [synth_at(n) for n in nrr_levels])
         return out, ws, delta_c
 
     def run_D(d_params, key, img, c, blur_sigma):
@@ -163,15 +220,15 @@ def make_gan_train_step(
             swapping_prob = 0.0
         return blur_sigma, swapping_prob
 
-    nrr = cfg.neural_rendering_resolution_initial  # fade handled by caller re-jit
-
     def g_loss_fn(g_params, d_params, key, z, c, cur_nimg, do_reg):
         blur_sigma, swapping_prob = schedules(cur_nimg)
+        nrr_idx = nrr_level_index(cur_nimg)
         k_g, k_d, k_reg = jax.random.split(key, 3)
-        gen_img, ws, delta_c = run_G(g_params, k_g, z, c, swapping_prob, nrr)
+        gen_img, ws, delta_c = run_G(g_params, k_g, z, c, swapping_prob, nrr_idx)
         gen_logits = run_D(d_params, k_d, gen_img, c, blur_sigma)
         loss_g = jnp.mean(jax.nn.softplus(-gen_logits))
-        metrics = {"Loss/G/loss": loss_g, "Loss/scores/fake": jnp.mean(gen_logits)}
+        metrics = {"Loss/G/loss": loss_g, "Loss/scores/fake": jnp.mean(gen_logits),
+                   "Progress/nrr": jnp.asarray(nrr_levels, jnp.float32)[nrr_idx]}
 
         if G.variant == "panohead" and cfg.trans_reg > 0:
             loss_trans = jnp.sum(jnp.square(jnp.mean(delta_c, axis=0))) * cfg.trans_reg
@@ -204,9 +261,26 @@ def make_gan_train_step(
 
     def d_loss_fn(d_params, g_params, key, z, c, real_img, real_c, cur_nimg, do_reg):
         blur_sigma, swapping_prob = schedules(cur_nimg)
+        nrr_idx = nrr_level_index(cur_nimg)
         k_g, k_d1, k_d2, k_r1 = jax.random.split(key, 4)
-        gen_img, _, _ = run_G(g_params, k_g, z, c, swapping_prob, nrr)
+        gen_img, _, _ = run_G(g_params, k_g, z, c, swapping_prob, nrr_idx)
         gen_img = jax.lax.stop_gradient(gen_img)
+        if fading and "image_raw" in real_img:
+            # ref training_loop: the real dual-discrimination raw is the
+            # real image downsampled to the CURRENT nrr; resize back up to
+            # the branch-common resolution to keep one program
+            out_res = max(nrr_levels)
+
+            def real_raw_at(n):
+                return lambda: filtered_resizing(
+                    filtered_resizing(real_img["image"], n, cfg.filter_mode),
+                    out_res, cfg.filter_mode,
+                )
+
+            real_img = dict(real_img)
+            real_img["image_raw"] = jax.lax.switch(
+                nrr_idx, [real_raw_at(n) for n in nrr_levels]
+            )
         gen_logits = run_D(d_params, k_d1, gen_img, c, blur_sigma)
         loss_fake = jnp.mean(jax.nn.softplus(gen_logits))
 

@@ -45,7 +45,7 @@ def test_discriminator_forward(rng, mode):
 
 
 def test_gan_train_step_runs_and_learns():
-    G = tiny_generator("panohead")
+    G = tiny_generator("panohead", c_gen_conditioning_zero=False)
     D = Discriminator(
         c_dim=25, img_resolution=16, img_channels=3, mode="mask_dual",
         channel_base=256, channel_max=32, num_fp16_res=0, conv_clamp=None,
@@ -87,3 +87,48 @@ def test_filtered_resizing_antialiased(rng):
     x = jnp.asarray(rng.randn(1, 3, 32, 32).astype(np.float32))
     y = filtered_resizing(x, 16, "antialiased")
     assert y.shape == (1, 3, 16, 16)
+
+
+def test_gan_nrr_fade_single_program():
+    """The nrr fade (ref loss.py:93-98) runs INSIDE one jitted step: a
+    lax.switch over quantized levels — stepping cur_nimg through the fade
+    changes Progress/nrr without retracing."""
+    G = tiny_generator("panohead", c_gen_conditioning_zero=False)
+    D = Discriminator(
+        c_dim=25, img_resolution=16, img_channels=3, mode="dual",
+        channel_base=256, channel_max=32, num_fp16_res=0, conv_clamp=None,
+        mbstd_group_size=2,
+    )
+    cfg = GANLossConfig(
+        neural_rendering_resolution_initial=8,
+        neural_rendering_resolution_final=16,
+        neural_rendering_resolution_fade_kimg=1.0,  # full fade over 1000 img
+        g_reg_interval=2, d_reg_interval=2, batch_size=2,
+        density_reg=0.25, r1_gamma=10.0, gpc_reg_prob=0.5,
+    )
+    state = init_gan_state(jax.random.PRNGKey(0), G, D, cfg)
+    traces = {"n": 0}
+    step_fn, _ = make_gan_train_step(G, D, cfg)
+
+    def counting_step(*a):
+        traces["n"] += 1
+        return step_fn(*a)
+
+    step = jax.jit(counting_step)
+    b = 2
+    z = jax.random.normal(jax.random.PRNGKey(1), (b, 32))
+    c = jax.random.normal(jax.random.PRNGKey(2), (b, 25)) * 0.1
+    real = {
+        "image": jax.random.uniform(jax.random.PRNGKey(3), (b, 3, 16, 16)) * 2 - 1,
+        "image_raw": jax.random.uniform(jax.random.PRNGKey(4), (b, 3, 16, 16)) * 2 - 1,
+    }
+
+    seen = []
+    for nimg in (0.0, 500.0, 1500.0):
+        s = state._replace(cur_nimg=jnp.asarray(nimg, jnp.float32))
+        s2, metrics = step(s, jax.random.PRNGKey(9), z, c, real, c)
+        seen.append(float(metrics["Progress/nrr"]))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, float(v))
+    assert traces["n"] == 1, "fade must not retrace the step"
+    assert seen[0] == 8.0 and seen[-1] == 16.0 and seen[1] in (8.0, 16.0)

@@ -185,3 +185,25 @@ def test_importance_renderer_smoke(rng):
     # depth must lie within the box-limited segment
     assert np.all(np.asarray(depth) >= 2.2 - 1e-4)
     assert np.all(np.asarray(depth) <= 3.2 + 1e-4)
+
+
+def test_int8_brick_sampling_error_budget():
+    """int8 tri-grid bricks (flagship fast path) stay within ~2^-7
+    relative feature error of the f32 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_gan_decoder_tpu.neuralfield.renderer import (
+        generate_planes, sample_from_planes)
+
+    rng = np.random.RandomState(0)
+    planes = jnp.asarray(rng.randn(1, 3, 32 * 3, 16, 16).astype(np.float32))
+    coords = jnp.asarray(((rng.rand(1, 500, 3) - 0.5) * 0.9).astype(np.float32))
+    axes = generate_planes("panohead")
+    ref = sample_from_planes(axes, planes, coords, box_warp=1.0, triplane_depth=3)
+    q = sample_from_planes(axes, planes, coords, box_warp=1.0, triplane_depth=3,
+                           brick_dtype=jnp.int8)
+    assert q.dtype == jnp.float32
+    err = np.abs(np.asarray(q) - np.asarray(ref))
+    scale = np.abs(np.asarray(planes)).max()
+    assert err.max() <= scale * 2 ** -6.5, err.max() / scale
