@@ -67,6 +67,9 @@ def sample_target(
     camera_params: Optional[jax.Array] = None,
     cfg: TargetSamplerConfig = TargetSamplerConfig(),
     only_gan: bool = False,
+    ws: Optional[jax.Array] = None,       # (1, num_ws, w_dim): skip mapping
+    only_surface: bool = False,           # skip the target render (viewer /
+    # PTI consumers that only need the surface vertices)
 ) -> EasyDict:
     """One target sample (ref get_data, target_dataloader.py:59-132).
 
@@ -96,9 +99,10 @@ def sample_target(
     result.truncation = truncation
 
     # frozen generator: ws with ZEROED camera conditioning (ref :90)
-    ws = generator.mapping(
-        gen_params, z, jnp.zeros_like(camera_params), truncation_psi=truncation
-    )
+    if ws is None:
+        ws = generator.mapping(
+            gen_params, z, jnp.zeros_like(camera_params), truncation_psi=truncation
+        )
     planes = generator.synthesis_planes(gen_params, ws, noise_mode="const")
     # ONE brick table for the render probes (coarse+importance) AND the
     # sigma grid below — all probe the same frozen planes
@@ -108,6 +112,18 @@ def sample_target(
         pallas_build=cfg.pallas_probe_build,
     )
     table = jax.lax.stop_gradient(table)
+    if only_surface:
+        planes = jax.lax.stop_gradient(planes)
+        sigmas = jax.lax.stop_gradient(sigma_grid(
+            generator, gen_params, planes, shape_res=cfg.shape_res,
+            chunk=cfg.sigma_chunk, table=table))
+        result.vertices = marching_tetrahedra_sample(
+            k_surf, sigmas, level=cfg.mc_level, n_points=cfg.num_points,
+            surface_thickness=cfg.surface_thickness,
+            face_capacity=cfg.face_capacity)
+        result.gan_camera_params = camera_params
+        result.ws = jax.lax.stop_gradient(ws)
+        return result
     synth = generator.render_planes(
         gen_params, planes, ws, camera_params,
         neural_rendering_resolution=cfg.neural_rendering_resolution,

@@ -64,6 +64,10 @@ def flagship_raster_config() -> RasterizeConfig:
         # overflow demand measured ~96.4k pairs at copies=2 (area histogram
         # is {1: 47%, 2: 43%, 4: 10%}): 2^17 leaves headroom, n_dropped = 0
         static_copies=2, overflow_budget=2 ** 17, bf16_colors=True,
+        # packed_v2: int16 tile-local pixel coords + f16 conics + bf16
+        # colors -> 2 keys + 5 sort payloads (vs 9 channels f32); error
+        # budget validated by tests/test_fast_raster.py packed-v2 parity
+        packed_payloads=True,
     )
 
 

@@ -56,11 +56,16 @@ class NetworkGUI:
 
     def receive(self):
         """-> (Camera | None, do_training, keep_alive, scaling_modifier,
-        (width, height)). Returns Nones on a zero-size request."""
+        (width, height), msg). Returns Nones on a zero-size request.
+
+        msg is the raw decoded JSON: clients MAY extend the base SIBR
+        message with renderer-state keys (seed blending, stylemix,
+        truncation, render_type — see apps/visualizer.py); the base
+        wire format stays byte-identical to the reference's."""
         msg = self._read()
         width, height = msg["resolution_x"], msg["resolution_y"]
         if width == 0 or height == 0:
-            return None, None, None, None, (0, 0)
+            return None, None, None, None, (0, 0), msg
         try:
             view = np.asarray(msg["view_matrix"], np.float32).reshape(4, 4)
             view[:, 1] = -view[:, 1]
@@ -82,4 +87,4 @@ class NetworkGUI:
             traceback.print_exc()
             raise
         return (cam, bool(msg["train"]), bool(msg["keep_alive"]),
-                float(msg["scaling_modifier"]), (width, height))
+                float(msg["scaling_modifier"]), (width, height), msg)

@@ -161,29 +161,168 @@ def _bf16_pack_pair(a, b):
     return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
 
 
+# fixed-point step for packed tile-local pixel coords: 1/32 px resolution,
+# +-1024 px range (see _i16_pack_pair)
+PXY_SCALE = 32.0
+
+# conic f16 pre-scale: f16 normals cover [6.1e-5, 65504]; conic entries lie
+# in (0, ~3.4] (EWA dilation bounds eigenvalues by 1/0.3) but flat giants
+# reach ~1e-6 — scaling by 2^12 shifts the representable window to
+# [1.5e-8, 16], so no flagship conic ever lands subnormal
+CONIC_SCALE = 4096.0
+
+
+def _i16_pack_pair(a, b, scale=PXY_SCALE):
+    """Two f32 vectors -> one f32-bitcast word of two int16 fixed-point
+    values (a high, b low), step 1/scale. Range +-(32767/scale)."""
+    ai = jnp.clip(jnp.round(a * scale), -32767, 32767).astype(jnp.int32)
+    bi = jnp.clip(jnp.round(b * scale), -32767, 32767).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type((ai << 16) | (bi & 0xFFFF), jnp.float32)
+
+
+def _f16_pack_pair(a, b, scale=CONIC_SCALE):
+    """Two f32 vectors -> one f32-bitcast word of two IEEE-half values of
+    (x * scale) (a high, b low). Manual encode — the blend kernel decodes
+    with integer ops only (Mosaic has no f16 compute), folding the inverse
+    scale into the exponent re-bias. Subnormals flush to zero."""
+    def half_bits(x):
+        y = jnp.clip(x * scale, -65504.0, 65504.0)
+        bjj = jax.lax.bitcast_convert_type(y.astype(jnp.float32), jnp.int32)
+        s = (bjj >> 16) & 0x8000
+        babs = (bjj & 0x7FFFFFFF) + 0x1000        # round-half-up at bit 13
+        e = (babs >> 23) - 112                    # f16 exponent
+        m = (babs >> 13) & 0x3FF
+        bits = jnp.where(e <= 0, 0, (e << 10) | m)
+        bits = jnp.where(e >= 31, 0x7BFF, bits)   # clamp to max finite
+        return s | bits
+    return jax.lax.bitcast_convert_type(
+        (half_bits(a) << 16) | half_bits(b), jnp.float32)
+
+
+def build_pairs_packed(
+    ch: Dict[str, jax.Array],          # project_channels output
+    fields,                            # 9 (N,) payload channels (blend ROW order)
+    grid_x: int, grid_y: int, tile_size: int,
+    static_copies: int = 2, overflow_budget: int = 2 ** 17,
+):
+    """Packed-payload pair construction: 5 payload words per pair instead
+    of 9 f32 channels (sort traffic and replication traffic both shrink):
+
+      0  pxl|pyl  int16 fixed-point (1/32 px), LOCAL to the pair's tile
+      1  ca|cb    f16 pairs of conic*4096
+      2  cc       f32
+      3  r|g      bf16 pair
+      4  b|op     bf16 pair
+
+    Tile-local pixel coords let 16 bits carry f32-grade precision (the
+    blend kernel subtracts its own tile origin from nothing — it uses the
+    local pixel iota directly). Packing happens BEFORE replication, so the
+    static copies stream 5 channels, not 9, and the overflow gather rows
+    are 10 wide, not 13."""
+    px, py, ca, cb, cc, op, r, g, b = [f.astype(jnp.float32) for f in fields]
+    N = px.shape[0]
+    T = grid_x * grid_y
+    x0, y0, rw, rh = _tile_rects_ch(
+        ch["px"].astype(jnp.float32), ch["py"].astype(jnp.float32),
+        ch["radius_f"].astype(jnp.float32), grid_x, grid_y, tile_size
+    )
+    area = rw * rh
+    vis = ch["visible"] & (area > 0)
+    depth_pos = jnp.maximum(ch["depth"], 1e-6).astype(jnp.float32)
+    qdepth = jax.lax.bitcast_convert_type(depth_pos, jnp.int32)
+
+    w_cacb = _f16_pack_pair(ca, cb)
+    w_rg = _bf16_pack_pair(r, g)
+    w_bop = _bf16_pack_pair(b, op)
+
+    # -- static copies --------------------------------------------------------
+    rw1 = jnp.maximum(rw, 1)
+    base = y0 * grid_x + x0
+    tiles, pxys = [], []
+    for k in range(static_copies):
+        cy = k // rw1
+        cx = k % rw1
+        tile_k = base + cy * grid_x + cx
+        valid_k = vis & (k < area)
+        tiles.append(jnp.where(valid_k, tile_k, T))
+        txk = ((x0 + cx) * tile_size).astype(jnp.float32)
+        tyk = ((y0 + cy) * tile_size).astype(jnp.float32)
+        pxys.append(_i16_pack_pair(px - txk, py - tyk))
+    tile_key = jnp.concatenate(tiles)
+    qd = jnp.tile(qdepth, (static_copies,))
+    f_pxy = jnp.concatenate(pxys)
+    f_cacb = jnp.tile(w_cacb, (static_copies,))
+    f_cc = jnp.tile(cc, (static_copies,))
+    f_rg = jnp.tile(w_rg, (static_copies,))
+    f_bop = jnp.tile(w_bop, (static_copies,))
+
+    # -- overflow lane --------------------------------------------------------
+    counts_over = jnp.where(vis, jnp.maximum(area - static_copies, 0), 0)
+    over_total = jnp.sum(counts_over)
+    n_dropped = jnp.maximum(0, over_total - overflow_budget)
+    offs = jnp.cumsum(counts_over) - counts_over
+    ids = jnp.repeat(
+        jnp.arange(N, dtype=jnp.int32), counts_over,
+        total_repeat_length=overflow_budget,
+    )
+    pack = jnp.stack(
+        [base.astype(jnp.float32), rw1.astype(jnp.float32),
+         offs.astype(jnp.float32), depth_pos, px, py, w_cacb, cc, w_rg, w_bop],
+        axis=1,
+    )  # (N, 10)
+    rows = jnp.take(pack, ids, axis=0)
+    pos = jnp.arange(overflow_budget, dtype=jnp.int32)
+    cell = static_copies + (pos - rows[:, 2].astype(jnp.int32))
+    rw_o = rows[:, 1].astype(jnp.int32)
+    base_o = rows[:, 0].astype(jnp.int32)
+    tile_o = base_o + (cell // rw_o) * grid_x + cell % rw_o
+    txo = ((tile_o % grid_x) * tile_size).astype(jnp.float32)
+    tyo = ((tile_o // grid_x) * tile_size).astype(jnp.float32)
+    valid_o = pos < over_total
+    tile_key = jnp.concatenate([tile_key, jnp.where(valid_o, tile_o, T)])
+    qd = jnp.concatenate(
+        [qd, jax.lax.bitcast_convert_type(rows[:, 3], jnp.int32)]
+    )
+    f_pxy = jnp.concatenate(
+        [f_pxy, _i16_pack_pair(rows[:, 4] - txo, rows[:, 5] - tyo)])
+    f_cacb = jnp.concatenate([f_cacb, rows[:, 6]])
+    f_cc = jnp.concatenate([f_cc, rows[:, 7]])
+    f_rg = jnp.concatenate([f_rg, rows[:, 8]])
+    f_bop = jnp.concatenate([f_bop, rows[:, 9]])
+    return tile_key, qd, [f_pxy, f_cacb, f_cc, f_rg, f_bop], n_dropped
+
+
 def bin_pairs_lexsort_ch(
     ch: Dict[str, jax.Array],          # project_channels output
     fields,                            # 9 (N,) payload channels (blend ROW order)
     grid_x: int, grid_y: int, tile_size: int,
     static_copies: int = 4, overflow_budget: int = 2 ** 17,
-    bf16_colors: bool = False,
+    bf16_colors: bool = False, packed_payloads: bool = False,
 ):
     """-> (tile_starts (T+2,), sorted_attrs (n_rows, Ptot), n_dropped).
 
-    n_rows = ROW (9 live f32 fields) or 8 when bf16_colors packs (r,g)
-    and (b,opacity) into bf16 pairs — 7 sort payloads instead of 9."""
+    n_rows = ROW (9 live f32 fields), 8 when bf16_colors packs (r,g)
+    and (b,opacity) into bf16 pairs (7 sort payloads), or 8 with 5 live
+    rows when packed_payloads packs everything (build_pairs_packed) — the
+    fastest sort (2 keys + 5 payloads)."""
     T = grid_x * grid_y
-    tile_key, qd, fields_rep, n_dropped = build_pairs_ch(
-        ch, fields, grid_x, grid_y, tile_size, static_copies, overflow_budget
-    )
-    if bf16_colors:
-        fields_rep = fields_rep[:5] + [
-            _bf16_pack_pair(fields_rep[6], fields_rep[7]),   # r | g
-            _bf16_pack_pair(fields_rep[8], fields_rep[5]),   # b | opacity
-        ]
+    if packed_payloads:
+        tile_key, qd, fields_rep, n_dropped = build_pairs_packed(
+            ch, fields, grid_x, grid_y, tile_size, static_copies,
+            overflow_budget)
         n_rows = 8
     else:
-        n_rows = ROW
+        tile_key, qd, fields_rep, n_dropped = build_pairs_ch(
+            ch, fields, grid_x, grid_y, tile_size, static_copies,
+            overflow_budget)
+        if bf16_colors:
+            fields_rep = fields_rep[:5] + [
+                _bf16_pack_pair(fields_rep[6], fields_rep[7]),   # r | g
+                _bf16_pack_pair(fields_rep[8], fields_rep[5]),   # b | opacity
+            ]
+            n_rows = 8
+        else:
+            n_rows = ROW
 
     # -- one lexicographic sort: (tile, depth-bits) + the live payloads -------
     sorted_ops = _sort_pairs(tile_key, qd, tuple(fields_rep))
@@ -212,16 +351,20 @@ def _blend_and_assemble(tile_starts, attrs_t, grid_x, grid_y, ts, bg, config,
     if differentiable:
         from .pallas_blend import pallas_blend_diff
 
-        assert not config.bf16_colors, "bf16-packed payloads are fwd-only"
+        # the training kernel reads unpacked f32 rows; rasterize_fast
+        # disables the packed formats in binning when differentiable=True
         accum, trans = pallas_blend_diff(
             tile_starts, attrs_t, grid_x, grid_y, ts,
             config.tile_capacity, interpret,
         )
     else:
+        fmt = ("packed_v2" if config.packed_payloads
+               else "bf16_colors" if config.bf16_colors else "f32")
+        # (packed formats are only produced on the non-differentiable path)
         accum, trans = pallas_blend(
             tile_starts, attrs_t, grid_x, grid_y, ts,
             max_k=config.tile_capacity, interpret=interpret,
-            packed_colors=config.bf16_colors,
+            payload_format=fmt,
         )
     H, W = grid_y * ts, grid_x * ts
     img = accum + trans[:, :, None] * bg[None, None, :]
@@ -281,7 +424,7 @@ def render_packed(
     tile_starts, attrs_t, n_dropped = bin_pairs_lexsort_ch(
         ch, fields, grid_x, grid_y, ts,
         config.static_copies, config.overflow_budget,
-        bf16_colors=config.bf16_colors,
+        bf16_colors=config.bf16_colors, packed_payloads=config.packed_payloads,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret
@@ -361,7 +504,8 @@ def rasterize_fast(
         ch, fields, grid_x, grid_y, ts,
         static_copies if static_copies is not None else config.static_copies,
         overflow_budget if overflow_budget is not None else config.overflow_budget,
-        bf16_colors=config.bf16_colors,
+        bf16_colors=config.bf16_colors and not differentiable,
+        packed_payloads=config.packed_payloads and not differentiable,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret,
@@ -407,7 +551,7 @@ def render_rows(
     tile_starts, attrs_t, n_dropped = bin_pairs_lexsort_ch(
         ch, fields, grid_x, grid_y, ts,
         config.static_copies, config.overflow_budget,
-        bf16_colors=config.bf16_colors,
+        bf16_colors=config.bf16_colors, packed_payloads=config.packed_payloads,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret

@@ -50,6 +50,18 @@ def _cumprod_lanes(x):
     return x
 
 
+def _f16_unpack(u, rebias):
+    """IEEE-half bits (low 16 of int32 lanes) -> f32, with the exponent
+    re-biased by -rebias powers of two (folds the pack-time pre-scale).
+    Integer ops only — Mosaic needs no f16 arithmetic. Subnormals -> 0."""
+    s = (u & 0x8000) << 16
+    e = (u >> 10) & 0x1F
+    m = u & 0x3FF
+    f32b = s | ((e + (127 - 15 - rebias)) << 23) | (m << 13)
+    val = jax.lax.bitcast_convert_type(f32b, jnp.float32)
+    return jnp.where(e == 0, 0.0, val)
+
+
 def _blend_kernel(
     # scalar prefetch
     start_ref,      # (T+1,) int32 segment starts (pairs lexsorted by tile)
@@ -61,7 +73,7 @@ def _blend_kernel(
     grid_x: int,
     tile_size: int,
     max_k: int,
-    packed_colors: bool,
+    payload_format: str,
     save_entries: bool = False,
     maxc: int = 0,
 ):
@@ -80,12 +92,18 @@ def _blend_kernel(
     offset = start - astart
     n_chunks = pl.cdiv(offset + count, jnp.int32(CHUNK))
 
-    # tile pixel coords (P, 1); pixel p = y*ts + x (row-major)
-    tx = (t % grid_x) * tile_size
-    ty = (t // grid_x) * tile_size
+    # tile pixel coords (P, 1); pixel p = y*ts + x (row-major). packed_v2
+    # stores gaussian centers TILE-LOCAL, so the pixel coords stay local
+    # too (no tile origin add — and dx keeps f32-grade precision).
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    pixx = (tx + p_iota % tile_size).astype(jnp.float32)
-    pixy = (ty + p_iota // tile_size).astype(jnp.float32)
+    if payload_format == "packed_v2":
+        pixx = (p_iota % tile_size).astype(jnp.float32)
+        pixy = (p_iota // tile_size).astype(jnp.float32)
+    else:
+        tx = (t % grid_x) * tile_size
+        ty = (t // grid_x) * tile_size
+        pixx = (tx + p_iota % tile_size).astype(jnp.float32)
+        pixy = (ty + p_iota // tile_size).astype(jnp.float32)
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
@@ -112,28 +130,46 @@ def _blend_kernel(
         gcol = cidx + ci * CHUNK               # column relative to astart
         valid = (gcol >= offset) & (gcol < offset + count)  # (1, CHUNK)
 
-        gx = rows[0:1, :]                      # (1, CHUNK)
-        gy = rows[1:2, :]
-        ca = rows[2:3, :]
-        cb = rows[3:4, :]
-        cc = rows[4:5, :]
-        if packed_colors:
-            # rows 5,6 carry bf16 pairs in f32-bitcast int32 words:
-            # row5 = r|g, row6 = b|opacity (hi|lo 16 bits). A bf16 value
-            # IS its f32 pattern with the low mantissa zeroed, so unpack
-            # = mask / shift + bitcast — no conversions.
-            w5 = jax.lax.bitcast_convert_type(rows[5:6, :], jnp.int32)
-            w6 = jax.lax.bitcast_convert_type(rows[6:7, :], jnp.int32)
-            f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
-            hi_mask = jnp.int32(-65536)        # 0xFFFF0000
-            r_ = f(w5 & hi_mask)
-            g_ = f(w5 << 16)
-            b_ = f(w6 & hi_mask)
-            op = f(w6 << 16)
+        f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
+        hi_mask = jnp.int32(-65536)            # 0xFFFF0000
+        if payload_format == "packed_v2":
+            # rows: 0 pxl|pyl int16 fixed-point (tile-local, 1/32 px),
+            # 1 ca|cb f16*4096, 2 cc f32, 3 r|g bf16, 4 b|op bf16
+            w0 = jax.lax.bitcast_convert_type(rows[0:1, :], jnp.int32)
+            gx = (w0 >> 16).astype(jnp.float32) * (1.0 / 32.0)
+            gy = ((w0 << 16) >> 16).astype(jnp.float32) * (1.0 / 32.0)
+            w1 = jax.lax.bitcast_convert_type(rows[1:2, :], jnp.int32)
+            ca = _f16_unpack((w1 >> 16) & 0xFFFF, 12)
+            cb = _f16_unpack(w1 & 0xFFFF, 12)
+            cc = rows[2:3, :]
+            w3 = jax.lax.bitcast_convert_type(rows[3:4, :], jnp.int32)
+            w4 = jax.lax.bitcast_convert_type(rows[4:5, :], jnp.int32)
+            r_ = f(w3 & hi_mask)
+            g_ = f(w3 << 16)
+            b_ = f(w4 & hi_mask)
+            op = f(w4 << 16)
             col = jnp.concatenate([r_, g_, b_], axis=0)
         else:
-            op = rows[5:6, :]
-            col = rows[6:9, :]                 # (3, CHUNK)
+            gx = rows[0:1, :]                  # (1, CHUNK)
+            gy = rows[1:2, :]
+            ca = rows[2:3, :]
+            cb = rows[3:4, :]
+            cc = rows[4:5, :]
+            if payload_format == "bf16_colors":
+                # rows 5,6 carry bf16 pairs in f32-bitcast int32 words:
+                # row5 = r|g, row6 = b|opacity (hi|lo 16 bits). A bf16
+                # value IS its f32 pattern with the low mantissa zeroed,
+                # so unpack = mask / shift + bitcast — no conversions.
+                w5 = jax.lax.bitcast_convert_type(rows[5:6, :], jnp.int32)
+                w6 = jax.lax.bitcast_convert_type(rows[6:7, :], jnp.int32)
+                r_ = f(w5 & hi_mask)
+                g_ = f(w5 << 16)
+                b_ = f(w6 & hi_mask)
+                op = f(w6 << 16)
+                col = jnp.concatenate([r_, g_, b_], axis=0)
+            else:
+                op = rows[5:6, :]
+                col = rows[6:9, :]             # (3, CHUNK)
 
         dx = pixx - gx                         # (P, CHUNK) — sign-symmetric
         dy = pixy - gy
@@ -143,30 +179,39 @@ def _blend_kernel(
             (power > 0.0) | (alpha < (1.0 / 255.0)) | (~valid), 0.0, alpha
         )
         if save_entries:
+            # training path: CUDA's per-pixel T < 1e-4 stop as an alpha
+            # MASK, reproduced EXACTLY by the backward replay (T never
+            # underflows there). Costs a second cumprod pass.
             ent_ref[0, ci, :] = trans[:, 0]
-        # CUDA's per-pixel T < 1e-4 stop as an alpha MASK (keeps the
-        # fixed-trip pipeline; see the NOTE below the loop). Applied on
-        # BOTH the inference and training paths so train/deploy/CUDA
-        # renders agree on saturated pixels; on the training path it is
-        # also what makes the backward's transmittance replay numerically
-        # safe (T never underflows). Cost: one extra cumprod pass.
-        cp0 = _cumprod_lanes(1.0 - alpha)
-        t_before = trans * jnp.concatenate(
-            [jnp.ones_like(cp0[:, :1]), cp0[:, :-1]], axis=1)
-        alpha = jnp.where(t_before < 1e-4, 0.0, alpha)
+            cp0 = _cumprod_lanes(1.0 - alpha)
+            t_before = trans * jnp.concatenate(
+                [jnp.ones_like(cp0[:, :1]), cp0[:, :-1]], axis=1)
+            alpha = jnp.where(t_before < 1e-4, 0.0, alpha)
 
-        one_minus = 1.0 - alpha                # (P, CHUNK)
-        cp = _cumprod_lanes(one_minus)
-        t_within = jnp.concatenate(
-            [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1
-        )
-        w = alpha * t_within * trans           # (P, CHUNK)
+            one_minus = 1.0 - alpha            # (P, CHUNK)
+            cp = _cumprod_lanes(one_minus)
+            t_within = jnp.concatenate(
+                [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1
+            )
+            w = alpha * t_within * trans       # (P, CHUNK)
+            trans = trans * cp[:, -1:]
+        else:
+            # inference path: ONE cumprod. w_i = alpha_i * T_i with
+            # T_i = trans * excl-cumprod; the T<1e-4 saturation stop is a
+            # mask on w directly. Deviation from CUDA: T keeps decaying
+            # past the stop instead of freezing — the carried trans (and
+            # the bg composite) differ by < 1e-4, below the 1/255 output
+            # quantization.
+            cp = _cumprod_lanes(1.0 - alpha)
+            t_i = trans * jnp.concatenate(
+                [jnp.ones_like(cp[:, :1]), cp[:, :-1]], axis=1)
+            w = jnp.where(t_i < 1e-4, 0.0, alpha * t_i)
+            trans = trans * cp[:, -1:]
         accum = accum + jax.lax.dot_general(
             w, col,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (P, 3)
-        trans = trans * cp[:, -1:]
         return accum, trans
 
     # NOTE on the CUDA per-pixel T<1e-4 early stop: both attempted TPU
@@ -200,8 +245,14 @@ def pallas_blend(
     max_k: int = 4096,
     interpret: bool | None = None,
     packed_colors: bool = False,
+    payload_format: str | None = None,
 ):
-    """-> (accum (T, 256, 3), trans (T, 256))."""
+    """-> (accum (T, 256, 3), trans (T, 256)).
+
+    payload_format: 'f32' | 'bf16_colors' | 'packed_v2' (fast_raster row
+    layouts); packed_colors=True is a legacy alias for 'bf16_colors'."""
+    if payload_format is None:
+        payload_format = "bf16_colors" if packed_colors else "f32"
     if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret
         interpret = jax.default_backend() == "cpu"
     n_rows = pair_attrs_t.shape[0]
@@ -210,7 +261,7 @@ def pallas_blend(
     out = pl.pallas_call(
         functools.partial(
             _blend_kernel, grid_x=grid_x, tile_size=tile_size, max_k=max_k,
-            packed_colors=packed_colors,
+            payload_format=payload_format,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -424,7 +475,7 @@ def _blend_train_fwd(tile_starts, pair_attrs_t, grid_x, grid_y, tile_size,
     out, ent = pl.pallas_call(
         functools.partial(
             _blend_kernel, grid_x=grid_x, tile_size=tile_size, max_k=max_k,
-            packed_colors=False, save_entries=True, maxc=maxc,
+            payload_format="f32", save_entries=True, maxc=maxc,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -52,6 +52,10 @@ class RasterizeConfig:
     bf16_colors: bool = False     # fast path: pack (r,g) and (b,opacity)
     # as bf16 pairs in the sort payload (9 -> 7 operands, 8-row blend DMA;
     # ~0.2% color/opacity rounding, conics and pixel coords stay f32)
+    packed_payloads: bool = False  # fast path: pack EVERYTHING — tile-
+    # local int16 pixel coords (1/32 px), f16 conics, bf16 colors — into 5
+    # payload words (2 keys + 5 payloads to sort, and pair replication
+    # streams 5 channels instead of 9). Supersedes bf16_colors.
 
 
 def _tile_rects(pix_xy, radius, grid_x, grid_y, tile_size):

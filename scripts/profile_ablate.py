@@ -40,18 +40,25 @@ def main():
     M = 500_000
 
     def frame(params, z, stage):
-        if stage in ("synth", "table", "sample"):
+        if stage in ("synth", "table", "table_q", "sample"):
             planes, _ = dec.synthesize_planes(params, z, cp, 1.0)
             if stage == "synth":
                 return jnp.sum(planes[..., ::257].astype(jnp.float32))
             g = dec.generator
+            if stage == "table_q":
+                from gaussian_gan_decoder_tpu.neuralfield.renderer import (
+                    build_plane_table)
+                tq = build_plane_table(planes, g.triplane_depth,
+                                       brick_dtype=dec._brick_dtype,
+                                       pallas_build=True)
+                return jnp.sum(tq[0][:, ::8193, ::129].astype(jnp.float32))
             if stage == "sample":
                 from gaussian_gan_decoder_tpu.neuralfield.renderer import (
                     sample_from_planes)
                 feats = sample_from_planes(
                     g.renderer.plane_axes, planes, init_pos[None],
                     box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
-                    brick_dtype=jnp.bfloat16, pallas_build=True)[0]
+                    brick_dtype=dec._brick_dtype, pallas_build=True)[0]
                 return jnp.sum(feats[:, ::4097].astype(jnp.float32))
             from gaussian_gan_decoder_tpu.neuralfield.pallas_expand import (
                 build_brick_table)
@@ -70,7 +77,7 @@ def main():
             feats = sample_from_planes(
                 g.renderer.plane_axes, planes, init_pos[None],
                 box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
-                brick_dtype=jnp.bfloat16, pallas_build=True)[0]
+                brick_dtype=dec._brick_dtype, pallas_build=True)[0]
             fm = jnp.mean(feats, axis=0).astype(jnp.float32)
             cond = (dec.embedder(init_pos) if dec.use_xyz_embedding
                     else init_pos)
@@ -139,7 +146,8 @@ def main():
                     + sum(jnp.sum(f[::4097]) for f in fields_rep))
         tile_starts, attrs_t, nd = bin_pairs_lexsort_ch(
             ch, fields, gx, gy, ts, rcfg.static_copies, rcfg.overflow_budget,
-            bf16_colors=rcfg.bf16_colors)
+            bf16_colors=rcfg.bf16_colors,
+            packed_payloads=rcfg.packed_payloads)
         if stage == "bin":
             return jnp.sum(tile_starts[:8].astype(jnp.float32)) + attrs_t[0, 0]
         if stage == "bin_all":
@@ -151,9 +159,11 @@ def main():
         slack = rcfg.tile_capacity + CHUNK
         attrs_t = jnp.concatenate(
             [attrs_t, jnp.zeros((attrs_t.shape[0], slack), jnp.float32)], axis=1)
+        fmt = ("packed_v2" if rcfg.packed_payloads
+               else "bf16_colors" if rcfg.bf16_colors else "f32")
         accum, trans = pallas_blend(tile_starts, attrs_t, gx, gy, ts,
                                     max_k=rcfg.tile_capacity,
-                                    packed_colors=rcfg.bf16_colors)
+                                    payload_format=fmt)
         img = accum + trans[:, :, None] * bg[None, None, :]
         return jnp.sum(img[:4])
 

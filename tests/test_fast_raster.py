@@ -165,3 +165,72 @@ def test_pallas_blend_backward_matches_xla_autodiff():
         a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
         assert rel < 1e-4, (key, rel)
+
+
+def test_packed_v2_payloads_close():
+    """packed_v2 (int16 tile-local pixel coords + f16 conics + bf16
+    colors, 5 sort payloads) stays within rounding distance of the f32
+    path — including overflow-lane pairs (large-radius gaussians)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.splat.fast_raster import rasterize_fast
+    from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig
+
+    cp, c2w = default_camera_params()
+    cam = make_camera(64, jnp.asarray(0.227), c2w)
+    N = 500
+    k = jax.random.PRNGKey(0)
+    xyz = (jax.random.uniform(k, (N, 3)) - 0.5) * 0.4
+    scale = jnp.exp(-jax.nn.softplus(
+        jax.random.normal(jax.random.fold_in(k, 1), (N, 3)) + 5.0) - 1.0)
+    # a few big ones so the overflow lane carries packed coords too
+    scale = scale.at[:8].mul(20.0)
+    rot = jax.random.normal(jax.random.fold_in(k, 2), (N, 4))
+    opa = jax.nn.sigmoid(jax.random.normal(jax.random.fold_in(k, 3), (N,)))
+    col = jnp.maximum(
+        jax.random.normal(jax.random.fold_in(k, 4), (N, 3)) * 0.3 + 0.5, 0.0)
+    kw = dict(tile_size=16, max_pairs=2 ** 14, tile_capacity=256,
+              chunk=32, static_copies=2, overflow_budget=2 ** 12)
+    bg = jnp.asarray([0.5, 0.5, 0.5])
+    args = (cam, xyz, scale, rot, opa)
+    a = rasterize_fast(*args, colors_precomp=col, bg=bg,
+                       config=RasterizeConfig(**kw), interpret=True)
+    b = rasterize_fast(*args, colors_precomp=col, bg=bg,
+                       config=RasterizeConfig(**kw, packed_payloads=True),
+                       interpret=True)
+    assert int(a["n_dropped"]) == 0 and int(b["n_dropped"]) == 0
+    ia, ib = np.asarray(a["render"]), np.asarray(b["render"])
+    mse = ((ia - ib) ** 2).mean()
+    p = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert p > 45.0, p
+
+
+def test_f16_pack_roundtrip():
+    """Manual f16 pack (XLA side) -> integer unpack (kernel side) round-
+    trips to f16 precision across the conic magnitude range."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.splat.fast_raster import _f16_pack_pair
+    from gaussian_gan_decoder_tpu.splat.pallas_blend import _f16_unpack
+
+    vals = np.concatenate([
+        np.geomspace(2e-8, 3.4, 300),
+        -np.geomspace(2e-8, 3.4, 300),
+        [0.0, 3.33, -3.33],
+    ]).astype(np.float32)
+    a = jnp.asarray(vals)
+    b = jnp.asarray(vals[::-1].copy())
+    w = jax.lax.bitcast_convert_type(_f16_pack_pair(a, b), jnp.int32)
+    ua = np.asarray(_f16_unpack((w >> 16) & 0xFFFF, 12))
+    ub = np.asarray(_f16_unpack(w & 0xFFFF, 12))
+    # f16 relative error 2^-11 (+ subnormal flush below 1.5e-8)
+    for got, want in ((ua, vals), (ub, vals[::-1])):
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1.5e-8)
+        mask = np.abs(want) > 6e-8
+        assert rel[mask].max() < 2 ** -10.5, rel[mask].max()
