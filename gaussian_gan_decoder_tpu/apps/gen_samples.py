@@ -23,6 +23,11 @@ def main(argv=None):
     p.add_argument("--trunc", type=float, default=0.7)
     p.add_argument("--fov_deg", type=float, default=18.837)
     p.add_argument("--yaws", default="0.0", help="comma yaw offsets (rad)")
+    p.add_argument("--random_views", type=int, default=0,
+                   help=">0: per seed render N random views (yaw in "
+                        "[-45,45] deg, pitch in [-0.2,0.2] deg) saved as "
+                        "seedNNNN_i.png — ID-eval pairs (ref "
+                        "gen_samples_forID.py:181-190)")
     p.add_argument("--outdir", default="out_samples")
     p.add_argument("--shapes", action="store_true")
     p.add_argument("--shape_res", type=int, default=128)
@@ -66,13 +71,25 @@ def main(argv=None):
 
     for seed in [int(s) for s in args.seeds.split(",")]:
         z = jax.random.normal(jax.random.PRNGKey(seed), (1, gen.z_dim))
-        for yaw in [float(y) for y in args.yaws.split(",")]:
+        rnd = np.random.RandomState(seed)
+        if args.random_views > 0:
+            views = [
+                ((-45 + 90 * rnd.random_sample()) / 180 * math.pi,
+                 (-0.2 + 0.4 * rnd.random_sample()) / 180 * math.pi,
+                 f"{i}")
+                for i in range(args.random_views)
+            ]
+        else:
+            views = [(float(y), 0.0, f"yaw{float(y):+.2f}")
+                     for y in args.yaws.split(",")]
+        for yaw, pitch, tag in views:
             pose = _pose_from_hv(
-                jnp.asarray([[math.pi / 2 + yaw]]), jnp.asarray([[math.pi / 2]]), 2.7
+                jnp.asarray([[math.pi / 2 + yaw]]),
+                jnp.asarray([[math.pi / 2 + pitch]]), 2.7
             )
             c = jnp.concatenate([pose.reshape(1, 16), intr.reshape(1, 9)], axis=1)
             img = np.asarray(render(z, c))[0].transpose(1, 2, 0).astype(np.uint8)
-            path = os.path.join(args.outdir, f"seed{seed:04d}_yaw{yaw:+.2f}.png")
+            path = os.path.join(args.outdir, f"seed{seed:04d}_{tag}.png")
             try:
                 from PIL import Image
 

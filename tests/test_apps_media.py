@@ -60,3 +60,30 @@ def test_interpolation_grid(tmp_path):
     img = np.asarray(Image.open(outdir / files[0]))
     # 3 rows (2 cuts + pure ws0) x 3 views at 16^2 raw resolution
     assert img.shape == (3 * 16, 3 * 16, 3)
+
+
+def test_gen_samples_forid_random_views(tmp_path):
+    """--random_views renders N per-seed random views saved individually
+    (ref gen_samples_forID.py:181-190)."""
+    import os
+
+    from gaussian_gan_decoder_tpu.apps.gen_samples import main as gs_main
+
+    out = str(tmp_path / "forid")
+    gs_main(["--smoke", "--force_cpu", "--seeds", "0,1",
+             "--random_views", "2", "--outdir", out])
+    names = sorted(os.listdir(out))
+    assert names == ["seed0000_0.png", "seed0000_1.png",
+                     "seed0001_0.png", "seed0001_1.png"]
+
+
+def test_calc_mbs_smoke(tmp_path):
+    """MBS runs end-to-end on the smoke generator with the native GAN
+    mask source; the shipped bcg-force makes the swap a no-op, so the
+    metric is ~0 by construction (ref calc_mbs.py + triplane.py:184)."""
+    from gaussian_gan_decoder_tpu.apps.calc_mbs import main as mbs_main
+
+    mbs = mbs_main(["--smoke", "--force_cpu", "--n_sample", "4",
+                    "--batch", "2"])
+    assert mbs == mbs  # finite
+    assert mbs < 1e-6
