@@ -137,6 +137,52 @@ class DecoderRenderer:
         self._decode_cache = (state_key, decoded)
         return decoded
 
+    # -- layer capture (ref viz/renderer.py:411-447) --------------------------
+
+    def layer_list(self):
+        """[(name, shape, dtype)] of capturable backbone activations."""
+        ws = self.blended_ws([[0, 1.0]], [], 0, 1.0, None)
+        cap = {}
+        jax.eval_shape(
+            lambda p, w: self.gen.synthesis_planes(p, w, capture=cap),
+            self.params["G"], ws)
+        return [(k, list(v.shape), str(v.dtype)) for k, v in cap.items()]
+
+    def _render_layer(self, ws, msg: dict, out_size: int) -> np.ndarray:
+        """Capture one backbone activation and visualize it the way the
+        reference does (renderer.py:364-396): channel select, dB scale,
+        optional normalize, x*127.5+128."""
+        cap = {}
+        self.gen.synthesis_planes(self.params["G"], ws, capture=cap)
+        name = msg["layer_name"]
+        if name not in cap:
+            raise KeyError(f"unknown layer {name!r}; have {sorted(cap)}")
+        out = np.asarray(cap[name][0], np.float32)       # (C, h, w)
+        sel_channels = int(msg.get("sel_channels", 3))
+        if sel_channels > out.shape[0]:
+            sel_channels = 1
+        base = max(min(int(msg.get("base_channel", 0)),
+                       out.shape[0] - sel_channels), 0)
+        img = out[base:base + sel_channels]
+        if msg.get("img_normalize"):
+            img = img / np.clip(np.abs(img).max(axis=(1, 2), keepdims=True),
+                                1e-8, 1e8)
+        img = img * (10 ** (float(msg.get("img_scale_db", 0)) / 20))
+        img = np.clip(img * 127.5 + 128, 0, 255).astype(np.uint8)
+        img = img.transpose(1, 2, 0)
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        elif img.shape[-1] == 2:
+            img = np.concatenate([img, np.zeros_like(img[..., :1])], axis=-1)
+        if img.shape[0] != out_size:                      # nearest upscale
+            reps = max(out_size // img.shape[0], 1)
+            img = np.kron(img, np.ones((reps, reps, 1), np.uint8))
+            img = img[:out_size, :out_size]
+            if img.shape[0] < out_size:
+                pad = out_size - img.shape[0]
+                img = np.pad(img, ((0, pad), (0, pad), (0, 0)))
+        return img
+
     # -- frame ----------------------------------------------------------------
 
     def render(self, cam, msg: dict, scale_modifier: float = 1.0) -> np.ndarray:
@@ -158,6 +204,8 @@ class DecoderRenderer:
         )
         ws = self.blended_ws(w0_seeds, stylemix_idx, stylemix_seed,
                              trunc_psi, trunc_cutoff)
+        if msg.get("layer_name"):
+            return self._render_layer(ws, msg, cam.image_height)
         d = self._decode(state_key, ws)
 
         opac = jax.nn.sigmoid(d["opacity"][:, 0])
@@ -207,7 +255,15 @@ def serve(renderer: DecoderRenderer, host: str, port: int):
                 gui.send(None, "ok")
                 continue
             img = renderer.render(cam, msg, scale_mod)
-            gui.send(img.tobytes(), "ok")
+            verify = "ok"
+            if msg.get("list_layers"):
+                # layer names ride back in the verify string (the wire
+                # format has no other metadata channel)
+                import json as _json
+
+                verify = _json.dumps(
+                    {"ok": True, "layers": renderer.layer_list()})
+            gui.send(img.tobytes(), verify)
         except (ConnectionError, BrokenPipeError, OSError):
             print("viewer disconnected")
             gui.conn = None

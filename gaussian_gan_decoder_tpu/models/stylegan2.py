@@ -508,7 +508,12 @@ class SynthesisNetwork:
         noise_mode: str = "random",
         force_fp32: bool = False,
         noise_key=None,
+        capture=None,
     ) -> jax.Array:
+        """capture: optional dict — per-block feature/skip maps are stored
+        into it under 'b{res}' / 'b{res}.img' (the layer-capture hook of
+        the reference visualizer, eg3d/viz/renderer.py:411-447; forward
+        hooks don't exist on functional modules, so capture is explicit)."""
         blocks = self._blocks()
         ws = ws.astype(jnp.float32)
         if noise_key is not None:
@@ -524,6 +529,10 @@ class SynthesisNetwork:
                 noise_key=(next(block_keys) if noise_key is not None else None),
             )
             w_idx += b.num_conv
+            if capture is not None:
+                capture[f"b{res}"] = x
+                if img is not None:
+                    capture[f"b{res}.img"] = img
         return img
 
 

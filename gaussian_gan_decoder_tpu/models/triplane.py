@@ -289,11 +289,15 @@ class TriPlaneGenerator:
 
     # -- synthesis -------------------------------------------------------------
 
-    def synthesis_planes(self, params, ws, noise_mode="const", noise_key=None):
-        """Backbone -> (N, 3, 32*D, H, W) feature planes."""
+    def synthesis_planes(self, params, ws, noise_mode="const", noise_key=None,
+                         capture=None):
+        """Backbone -> (N, 3, 32*D, H, W) feature planes.
+
+        capture: optional dict collecting per-block backbone activations
+        (see stylegan2.SynthesisNetwork.apply)."""
         planes = self.backbone.synthesis.apply(
             params["backbone"]["synthesis"], ws,
-            noise_mode=noise_mode, noise_key=noise_key,
+            noise_mode=noise_mode, noise_key=noise_key, capture=capture,
         )
         N = planes.shape[0]
         return planes.reshape(

@@ -186,3 +186,30 @@ def test_visualizer_protocol_extension_roundtrip():
     t.join(timeout=30)
     assert len(img_plain) == want and len(img_depth) == want
     assert frames == ["image", "depth"]
+
+
+def test_visualizer_layer_capture():
+    """layer_name renders a backbone activation visualization; layer_list
+    enumerates capturable layers (ref viz/renderer.py:411-447)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+
+    r = _smoke_renderer()
+    layers = r.layer_list()
+    names = [n for n, _shape, _dt in layers]
+    assert any(n.startswith("b4") for n in names)
+    assert any(n.endswith(".img") for n in names)
+
+    _, c2w = default_camera_params()
+    cam = make_camera(32, jnp.asarray(0.3), c2w)
+    img = r.render(cam, {"seed": 0, "layer_name": names[0],
+                         "sel_channels": 3, "img_normalize": True})
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    # single-channel select renders grayscale
+    img1 = r.render(cam, {"seed": 0, "layer_name": names[0],
+                          "sel_channels": 1})
+    assert (img1[..., 0] == img1[..., 1]).all()
