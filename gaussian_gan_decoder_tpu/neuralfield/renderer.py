@@ -79,27 +79,25 @@ def build_plane_table(
     int8 = brick_dtype == jnp.int8
     if int8:
         assert triplane_depth > 1, "int8 bricks: tri-grid path only"
-        # expand in bf16 (the Pallas build kernel's layout), quantize after
-        build_dtype = jnp.bfloat16
-    else:
-        build_dtype = brick_dtype
-    if build_dtype is not None:
-        plane_features = plane_features.astype(build_dtype)
+        # quantize the SMALL raw volume (B*C*D*H*W elements) and stream
+        # int8 through the expansion — ~10x cheaper than quantizing the
+        # 8x-expanded table, and the build kernel moves half the bytes
+        feats = plane_features.astype(jnp.float32).reshape(
+            N * n_planes, C, D, H, W)
+        absmax = jnp.max(jnp.abs(feats), axis=(2, 3, 4))
+        scales = jnp.maximum(absmax / 127.0, 1e-12)        # (B, C)
+        q = feats * (1.0 / scales)[:, :, None, None, None]
+        q8 = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+        e, NY = _trilinear_table(q8, pallas_build)
+        return (e, NY, scales)
+    if brick_dtype is not None:
+        plane_features = plane_features.astype(brick_dtype)
     if triplane_depth == 1:
         feats = plane_features.reshape(N * n_planes, C, H, W)
         return _bilinear_table(feats)
     feats = plane_features.reshape(N * n_planes, C, D, H, W)
     e, NY = _trilinear_table(feats, pallas_build and triplane_depth > 1)
-    if not int8:
-        return (e, NY)
-    # per (plane, channel) scale from the RAW volume (the expanded table
-    # has pad-garbage rows that must not inflate the scale)
-    absmax = jnp.max(jnp.abs(feats.astype(jnp.float32)), axis=(2, 3, 4))
-    scales = jnp.maximum(absmax / 127.0, 1e-12)           # (B, C)
-    inv = (1.0 / scales)
-    q = e.astype(jnp.float32) * jnp.tile(inv, (1, 8))[:, None, :]
-    e_i8 = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
-    return (e_i8, NY, scales)
+    return (e, NY)
 
 
 def sample_from_planes(
