@@ -94,6 +94,10 @@ def build_argparser():
     p.add_argument("--vgg_weights", default="", help="state dict for VGG16 LPIPS")
     p.add_argument("--batch_views", type=int, default=0,
                    help=">0: DP view batch over the device mesh")
+    p.add_argument("--pallas_heads_train", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="custom-VJP fused Pallas decoder-head chain in the "
+                        "train step (VMEM-resident fwd+bwd; exact f32 grads)")
     p.add_argument("--raster_backend", default="pallas_diff",
                    choices=["xla", "pallas_diff"],
                    help="pallas_diff (default): custom-VJP Pallas blend — "
@@ -162,6 +166,7 @@ def main(argv=None):
         hidden_dim=args.hidden_dim,
         use_xyz_embedding=args.use_pos_encoding,
         use_gen_finetune=args.use_gen_finetune,
+        pallas_heads_train=args.pallas_heads_train,
     )
 
     cfg = DistillConfig(

@@ -105,6 +105,8 @@ class GaussianDecoder:
     # scales: 256B rows gather ~1.7x faster than bf16 512B rows (row-rate
     # is byte-bound at flagship table sizes); ~2^-7 relative feature err
     pallas_heads: bool = False    # fused VMEM-resident head chain (inference)
+    pallas_heads_train: bool = False  # custom-VJP fused chain (training):
+    # exact f32 gradients, VMEM-resident fwd AND bwd (pallas_heads_vjp.py)
     gelu: str = "exact"           # 'exact' (torch parity) | 'poly' (1.2e-4
     # max dev, no transcendentals — the exact erf costs 5.5 ms/frame in the
     # fused chain) | 'tanh' (jax.nn.gelu default approximation)
@@ -174,6 +176,29 @@ class GaussianDecoder:
         heads = self._heads()
         result = EasyDict()
         cond = self.embedder(init_position) if self.use_xyz_embedding else init_position
+
+        if self.pallas_heads_train:
+            # custom-VJP fused chain: the XLA heads path round-trips 20
+            # hidden activations through HBM in BOTH directions of the
+            # train step (~57 ms fwd alone); the Pallas pair keeps them
+            # in VMEM (pallas_heads_vjp.py)
+            from .pallas_heads_vjp import decode_heads_pallas_diff
+
+            chain_spec = _CHAINS[self.decoder_type]
+            packed = decode_heads_pallas_diff(
+                {name: params[name] for name, _ in chain_spec},
+                chain_spec,
+                jnp.mean(feats, axis=0).astype(jnp.float32),
+                cond, init_position, self.scale_offset,
+                (self.decoder_type == "parallel"), self.gelu, 512, None,
+            )
+            M = init_position.shape[0]
+            result = EasyDict()
+            off = 0
+            for name, out_dim in chain_spec:
+                result[name] = packed[:M, off:off + out_dim]
+                off += out_dim
+            return result
 
         if self.pallas_heads:
             from .pallas_heads import decode_heads_pallas

@@ -19,7 +19,9 @@ ITERS = int(os.environ.get("DS_ITERS", 3))
 def main():
     gen = flagship_generator()
     dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
-                          use_gen_finetune=True)
+                          use_gen_finetune=True,
+                          pallas_heads_train=bool(os.environ.get("DS_PALLAS_HEADS")),
+                          bf16_sampling=bool(os.environ.get("DS_BF16_SAMPLING")))
     gp = gen.init(jax.random.PRNGKey(1))
     params = dec.init(jax.random.PRNGKey(0), generator_params=gp)
     vgg = VGG16LPIPS()

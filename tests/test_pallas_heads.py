@@ -137,3 +137,67 @@ def test_decode_project_matches_heads_plus_projection():
         # masked-out lanes may differ in dependent quantities; compare where
         # either is visible-consistent
         np.testing.assert_allclose(got, want, atol=1e-4, err_msg=name)
+
+
+def test_heads_vjp_matches_xla_grads():
+    """Custom-VJP fused heads chain: gradients match jax.grad through the
+    XLA reference chain (weights, biases, feats, cond, init) to ~1e-4."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.decoder.heads import _CHAINS, DecoderHead
+    from gaussian_gan_decoder_tpu.decoder.pallas_heads_vjp import (
+        decode_heads_pallas_diff)
+
+    chain_spec = _CHAINS["sequential_reversed"]
+    M, P = 300, 3
+    scale_offset = -2.5
+    heads = {}
+    extra = 0
+    key = jax.random.PRNGKey(0)
+    params = {}
+    for i, (name, out_dim) in enumerate(chain_spec):
+        heads[name] = DecoderHead(n_features=32 + P + extra,
+                                  out_features=out_dim, hidden_dim=128)
+        params[name] = heads[name].init(jax.random.fold_in(key, i))
+        extra += out_dim
+
+    feats = jax.random.normal(jax.random.fold_in(key, 10), (M, 32)) * 0.5
+    cond0 = jax.random.normal(jax.random.fold_in(key, 11), (M, P)) * 0.2
+    init = jax.random.normal(jax.random.fold_in(key, 12), (M, 3)) * 0.2
+    tgt = jax.random.normal(jax.random.fold_in(key, 13), (M, 14))
+
+    def ref_loss(params, feats, cond0, init):
+        cond = cond0
+        cols = []
+        for name, out_dim in chain_spec:
+            v = heads[name].apply(params[name], feats[None], cond)
+            if name == "xyz":
+                v = v * 0.01 + init
+            elif name == "scale":
+                v = -jax.nn.softplus(v + 5.0) + scale_offset
+            cols.append(v)
+            cond = jnp.concatenate([cond, v], axis=-1)
+        out = jnp.concatenate(cols, axis=-1)       # (M, 14)
+        return jnp.sum(out * tgt) + jnp.sum(jnp.sin(out))
+
+    def pallas_loss(params, feats, cond0, init):
+        out = decode_heads_pallas_diff(
+            params, chain_spec, feats, cond0, init, scale_offset,
+            False, "exact", 256, None)[:M, :14]
+        return jnp.sum(out * tgt) + jnp.sum(jnp.sin(out))
+
+    v_ref, g_ref = jax.value_and_grad(ref_loss, argnums=(0, 1, 2, 3))(
+        params, feats, cond0, init)
+    v_pal, g_pal = jax.value_and_grad(pallas_loss, argnums=(0, 1, 2, 3))(
+        params, feats, cond0, init)
+    assert abs(float(v_ref) - float(v_pal)) < 1e-2 * max(1.0, abs(float(v_ref)))
+
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_p, _ = jax.tree_util.tree_flatten(g_pal)
+    assert len(flat_r) == len(flat_p)
+    for a, b in zip(flat_r, flat_p):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, atol=2e-4 * scale, rtol=2e-3)
