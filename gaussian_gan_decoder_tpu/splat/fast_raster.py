@@ -149,6 +149,11 @@ def _sort_pairs_bwd(pos, cts):
 _sort_pairs.defvjp(_sort_pairs_fwd, _sort_pairs_bwd)
 
 
+def _sort_pairs_fused(fkey, fields):
+    """Single-key variant (fused uint32 tile|depth key; fwd-only path)."""
+    return tuple(jax.lax.sort([fkey] + list(fields), num_keys=1))
+
+
 
 def _bf16_pack_pair(a, b):
     """Two f32 vectors -> one f32-bitcast word of (bf16(a) | bf16(b)):
@@ -298,19 +303,39 @@ def bin_pairs_lexsort_ch(
     grid_x: int, grid_y: int, tile_size: int,
     static_copies: int = 4, overflow_budget: int = 2 ** 17,
     bf16_colors: bool = False, packed_payloads: bool = False,
+    fused_sort_key: bool = False,
 ):
     """-> (tile_starts (T+2,), sorted_attrs (n_rows, Ptot), n_dropped).
 
     n_rows = ROW (9 live f32 fields), 8 when bf16_colors packs (r,g)
     and (b,opacity) into bf16 pairs (7 sort payloads), or 8 with 5 live
     rows when packed_payloads packs everything (build_pairs_packed) — the
-    fastest sort (2 keys + 5 payloads)."""
+    fastest sort (2 keys + 5 payloads; 1 fused uint32 key + 5 with
+    fused_sort_key — see RasterizeConfig)."""
     T = grid_x * grid_y
     if packed_payloads:
         tile_key, qd, fields_rep, n_dropped = build_pairs_packed(
             ch, fields, grid_x, grid_y, tile_size, static_copies,
             overflow_budget)
         n_rows = 8
+        if fused_sort_key:
+            # tile fits 11 bits (T <= 1024 incl. the T sentinel); keep the
+            # top 21 bits of the positive-f32 depth pattern (sign+exp+12
+            # mantissa => 2^-12 relative depth resolution)
+            fkey = ((tile_key.astype(jnp.uint32) << 21)
+                    | (qd.astype(jnp.uint32) >> 11))
+            sorted_ops = _sort_pairs_fused(fkey, tuple(fields_rep))
+            sorted_tile = (sorted_ops[0] >> 21).astype(jnp.int32)
+            ptot = sorted_tile.shape[0]
+            sorted_attrs_t = jnp.concatenate(
+                [jnp.stack(sorted_ops[1:], axis=0),
+                 jnp.zeros((n_rows - len(fields_rep), ptot), jnp.float32)],
+                axis=0,
+            )
+            tile_starts = jnp.searchsorted(
+                sorted_tile, jnp.arange(T + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            return tile_starts, sorted_attrs_t, n_dropped
     else:
         tile_key, qd, fields_rep, n_dropped = build_pairs_ch(
             ch, fields, grid_x, grid_y, tile_size, static_copies,
@@ -425,6 +450,7 @@ def render_packed(
         ch, fields, grid_x, grid_y, ts,
         config.static_copies, config.overflow_budget,
         bf16_colors=config.bf16_colors, packed_payloads=config.packed_payloads,
+        fused_sort_key=config.fused_sort_key,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret
@@ -506,6 +532,7 @@ def rasterize_fast(
         overflow_budget if overflow_budget is not None else config.overflow_budget,
         bf16_colors=config.bf16_colors and not differentiable,
         packed_payloads=config.packed_payloads and not differentiable,
+        fused_sort_key=config.fused_sort_key and not differentiable,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret,
@@ -552,6 +579,7 @@ def render_rows(
         ch, fields, grid_x, grid_y, ts,
         config.static_copies, config.overflow_budget,
         bf16_colors=config.bf16_colors, packed_payloads=config.packed_payloads,
+        fused_sort_key=config.fused_sort_key,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret

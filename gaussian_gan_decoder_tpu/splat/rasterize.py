@@ -56,6 +56,11 @@ class RasterizeConfig:
     # local int16 pixel coords (1/32 px), f16 conics, bf16 colors — into 5
     # payload words (2 keys + 5 payloads to sort, and pair replication
     # streams 5 channels instead of 9). Supersedes bf16_colors.
+    fused_sort_key: bool = False   # fast path (with packed_payloads): ONE
+    # uint32 sort key = tile(11b) | depth-bits>>11 (21b) instead of the
+    # (tile, depth) pair — 6 sort operands instead of 7. Depth resolution
+    # drops to 2^-12 relative; near-coincident gaussians may swap blend
+    # order (the CUDA key keeps all 32 depth bits in its 64-bit key).
 
 
 def _tile_rects(pix_xy, radius, grid_x, grid_y, tile_size):

@@ -234,3 +234,43 @@ def test_f16_pack_roundtrip():
         rel = np.abs(got - want) / np.maximum(np.abs(want), 1.5e-8)
         mask = np.abs(want) > 6e-8
         assert rel[mask].max() < 2 ** -10.5, rel[mask].max()
+
+
+def test_fused_sort_key_close():
+    """Single fused uint32 (tile | depth>>11) sort key matches the 2-key
+    lexsort render to high PSNR (ties at 2^-12 relative depth may swap)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.splat.fast_raster import rasterize_fast
+    from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig
+
+    cp, c2w = default_camera_params()
+    cam = make_camera(64, jnp.asarray(0.227), c2w)
+    N = 500
+    k = jax.random.PRNGKey(0)
+    xyz = (jax.random.uniform(k, (N, 3)) - 0.5) * 0.4
+    scale = jnp.exp(-jax.nn.softplus(
+        jax.random.normal(jax.random.fold_in(k, 1), (N, 3)) + 5.0) - 1.0)
+    rot = jax.random.normal(jax.random.fold_in(k, 2), (N, 4))
+    opa = jax.nn.sigmoid(jax.random.normal(jax.random.fold_in(k, 3), (N,)))
+    col = jnp.maximum(
+        jax.random.normal(jax.random.fold_in(k, 4), (N, 3)) * 0.3 + 0.5, 0.0)
+    kw = dict(tile_size=16, max_pairs=2 ** 14, tile_capacity=256,
+              chunk=32, static_copies=2, overflow_budget=2 ** 12)
+    bg = jnp.asarray([0.5, 0.5, 0.5])
+    args = (cam, xyz, scale, rot, opa)
+    a = rasterize_fast(*args, colors_precomp=col, bg=bg,
+                       config=RasterizeConfig(**kw, packed_payloads=True),
+                       interpret=True)
+    b = rasterize_fast(*args, colors_precomp=col, bg=bg,
+                       config=RasterizeConfig(**kw, packed_payloads=True,
+                                              fused_sort_key=True),
+                       interpret=True)
+    ia, ib = np.asarray(a["render"]), np.asarray(b["render"])
+    mse = ((ia - ib) ** 2).mean()
+    p = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert p > 45.0, p
