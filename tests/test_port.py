@@ -52,17 +52,41 @@ class _FakePersistentModule:
 
 
 # make pickle record the reference's module path for the reconstructor —
-# register a shim module so pickling-side lookup succeeds
+# a shim module satisfies the PICKLE-time lookup. Installed only around
+# pickle.dumps (contextmanager): a permanent sys.modules entry would
+# shadow the REAL /root/reference torch_utils that test_reference_golden
+# imports later in the same process.
+import contextlib
+import pickle as _pickle
 import sys
 import types
 
-_shim_pkg = types.ModuleType("torch_utils")
-_shim = types.ModuleType("torch_utils.persistence")
-_shim._reconstruct_persistent_obj = _reconstruct_persistent_obj
-_shim_pkg.persistence = _shim
-sys.modules.setdefault("torch_utils", _shim_pkg)
-sys.modules["torch_utils.persistence"] = _shim
 _reconstruct_persistent_obj.__module__ = "torch_utils.persistence"
+
+
+@contextlib.contextmanager
+def _persistence_shim():
+    shim_pkg = types.ModuleType("torch_utils")
+    shim = types.ModuleType("torch_utils.persistence")
+    shim._reconstruct_persistent_obj = _reconstruct_persistent_obj
+    shim_pkg.persistence = shim
+    saved = {k: sys.modules.get(k)
+             for k in ("torch_utils", "torch_utils.persistence")}
+    sys.modules["torch_utils"] = shim_pkg
+    sys.modules["torch_utils.persistence"] = shim
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def _dumps_with_shim(obj):
+    with _persistence_shim():
+        return _pickle.dumps(obj)
 
 
 def _tree_to_fake_modules(tree):
@@ -118,7 +142,7 @@ def test_port_roundtrip_restores_generator_params():
         },
         "channel_base": 1024, "channel_max": 64,
     }
-    blob = pickle.dumps({"G_ema": fake, "training_set_kwargs": None})
+    blob = _dumps_with_shim({"G_ema": fake, "training_set_kwargs": None})
 
     data = load_reference_pickle(io.BytesIO(blob))
     stub = data["G_ema"]
@@ -163,5 +187,5 @@ def test_unpickler_is_inert_for_reference_classes():
     # symbols become EasyDicts:
     from gaussian_gan_decoder_tpu.port.torch_pickle import _RefUnpickler
 
-    got = _RefUnpickler(io.BytesIO(pickle.dumps({"a": 1}))).load()
+    got = _RefUnpickler(io.BytesIO(_dumps_with_shim({"a": 1}))).load()
     assert got == {"a": 1}
