@@ -94,6 +94,14 @@ def build_argparser():
     p.add_argument("--vgg_weights", default="", help="state dict for VGG16 LPIPS")
     p.add_argument("--batch_views", type=int, default=0,
                    help=">0: DP view batch over the device mesh")
+    p.add_argument("--bf16_probe", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="bf16 brick tables for the frozen-G probe path "
+                        "(target render + sigma grid): halves probe gather "
+                        "bytes at ~2^-8 relative feature error")
+    p.add_argument("--pallas_probe_build", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="Pallas streaming build for the probe brick table")
     p.add_argument("--pallas_heads_train", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="custom-VJP fused Pallas decoder-head chain in the "
@@ -189,6 +197,8 @@ def main(argv=None):
         surface_thickness=args.surface_thickness,
         shape_res=args.shape_res, num_points=args.num_points,
         mc_level=args.mc_level,
+        bf16_probe=args.bf16_probe,
+        pallas_probe_build=args.pallas_probe_build,
         sigma_chunk=min(2 ** 18, args.shape_res ** 3),
         face_capacity=min(2 ** 20, 12 * (args.shape_res - 1) ** 3),
         neural_rendering_resolution=min(64, args.image_size),
