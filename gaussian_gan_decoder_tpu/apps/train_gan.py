@@ -44,6 +44,14 @@ def build_argparser():
     p.add_argument("--snap", type=int, default=50, help="snapshot every N ticks")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--img_resolution", type=int, default=512)
+    # nrr fade (ref train.py:166-168); the fade runs INSIDE the jitted
+    # step (train/gan.py lax.switch over quantized levels)
+    p.add_argument("--neural_rendering_resolution_initial", type=int, default=64)
+    p.add_argument("--neural_rendering_resolution_final", type=int, default=None)
+    p.add_argument("--neural_rendering_resolution_fade_kimg", type=int, default=1000)
+    p.add_argument("--num_fp16_res", type=int, default=4,
+                   help="bf16 blocks at the top N resolutions (the "
+                        "reference's mixed-precision scheme; bf16 on TPU)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--force_cpu", action="store_true")
     return p
@@ -83,12 +91,14 @@ def main(argv=None):
         G = TriPlaneGenerator(
             z_dim=512, c_dim=25, w_dim=512, img_resolution=args.img_resolution,
             variant=args.variant,
+            num_fp16_res=args.num_fp16_res, sr_num_fp16_res=args.num_fp16_res,
         )
         D = Discriminator(
             c_dim=25, img_resolution=args.img_resolution, img_channels=3,
             mode="mask_dual" if args.variant == "panohead" else "dual",
+            num_fp16_res=args.num_fp16_res,
         )
-        nrr = 64
+        nrr = args.neural_rendering_resolution_initial
 
     cfg = GANLossConfig(
         r1_gamma=args.gamma,
@@ -97,6 +107,10 @@ def main(argv=None):
         gpc_reg_prob=args.gpc_reg_prob if args.gen_pose_cond else None,
         g_lr=args.glr, d_lr=args.dlr, batch_size=args.batch,
         neural_rendering_resolution_initial=nrr,
+        neural_rendering_resolution_final=(
+            None if args.smoke else args.neural_rendering_resolution_final),
+        neural_rendering_resolution_fade_kimg=(
+            args.neural_rendering_resolution_fade_kimg),
     )
 
     augment_fn = None
