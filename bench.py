@@ -46,6 +46,7 @@ def main():
     rcfg = flagship_raster_config()
 
     backend = os.environ.get("BENCH_BACKEND", "pallas")
+    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", 4))
 
     def frame(params, z):
         img, _ = decode_and_render(
@@ -56,15 +57,29 @@ def main():
 
     zs = jax.random.normal(jax.random.PRNGKey(3), (iters, 1, 512))
 
-    @jax.jit
-    def frame_stream(params, zs):
-        # all frames in ONE device program: measures frames/sec/chip
-        # (per-call host/tunnel dispatch latency is a harness artifact,
-        # not renderer throughput)
-        def body(i, acc):
-            return acc + frame(params, zs[i])
+    if backend == "pallas" and frame_batch > 1 and iters % frame_batch == 0:
+        from gaussian_gan_decoder_tpu.flagship import decode_and_render_stream
 
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+        @jax.jit
+        def frame_stream(params, zs):
+            # backbone batched frame_batch at a time, per-frame tail
+            # sequential (memory) — still iters distinct frames
+            imgs = decode_and_render_stream(
+                dec, params, zs, cp, cam2world, init_pos, fov,
+                image_size=image_size, raster_cfg=rcfg,
+                frame_batch=frame_batch,
+            )
+            return jnp.sum(imgs[:, :, ::257, ::257])
+    else:
+        @jax.jit
+        def frame_stream(params, zs):
+            # all frames in ONE device program: measures frames/sec/chip
+            # (per-call host/tunnel dispatch latency is a harness artifact,
+            # not renderer throughput)
+            def body(i, acc):
+                return acc + frame(params, zs[i])
+
+            return jax.lax.fori_loop(0, iters, body, 0.0)
 
     float(frame_stream(params, zs))  # compile + warmup
     t0 = time.perf_counter()

@@ -82,6 +82,55 @@ def default_camera_params(fov_deg: float = 13.0, dtype=jnp.float32) -> Tuple[jax
     return cp, jnp.asarray(cam2world, dtype)
 
 
+def decode_and_render_stream(
+    decoder: GaussianDecoder,
+    params,
+    zs: jax.Array,               # (F, 1, z_dim) latent stream
+    camera_params: jax.Array,
+    cam2world: jax.Array,
+    init_position: jax.Array,
+    fov,
+    image_size: int = 512,
+    bg=(0.55717, 0.52256, 0.51045),
+    raster_cfg: Optional[RasterizeConfig] = None,
+    truncation_psi: float = 1.0,
+    frame_batch: int = 4,
+):
+    """Decode+render F frames with the BACKBONE batched frame_batch at a
+    time (mapping + 256^2 synthesis at batch 1 runs the MXU at a few
+    percent utilization; batching amortizes it) while the memory-heavy
+    per-frame tail (brick table -> gather -> heads -> binning -> blend)
+    runs sequentially under lax.map so peak HBM stays single-frame.
+
+    -> (F, 3, H, W) frames. Requires the Pallas fast path."""
+    assert decoder.pallas_heads, "stream path uses the fused kernel"
+    from .splat.fast_raster import render_rows
+
+    F = zs.shape[0]
+    assert F % frame_batch == 0, (F, frame_batch)
+    cam = make_camera(image_size, jnp.asarray(fov), cam2world)
+    cfg = raster_cfg or flagship_raster_config()
+    bgv = jnp.asarray(bg, jnp.float32)
+    M = init_position.shape[0]
+
+    cp_b = jnp.tile(camera_params, (frame_batch, 1))
+
+    def group(zb):                       # (frame_batch, 1, z_dim)
+        planes, _ = decoder.synthesize_planes(
+            params, zb[:, 0, :], cp_b, truncation_psi)
+
+        def one(pl_1):
+            rows, layout = decoder.decode_project(
+                params, pl_1[None], init_position, cam)
+            out = render_rows(cam, rows, layout, M, bg=bgv, config=cfg)
+            return out["render"][:3]
+
+        return jax.lax.map(one, planes)
+
+    zg = zs.reshape(F // frame_batch, frame_batch, 1, zs.shape[-1])
+    return jax.lax.map(group, zg).reshape(F, 3, image_size, image_size)
+
+
 def decode_and_render(
     decoder: GaussianDecoder,
     params,

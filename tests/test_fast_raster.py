@@ -274,3 +274,45 @@ def test_fused_sort_key_close():
     mse = ((ia - ib) ** 2).mean()
     p = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert p > 45.0, p
+
+
+def test_decode_and_render_stream_matches_single():
+    """Batched-backbone frame stream == per-frame decode_and_render."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.flagship import (
+        decode_and_render, decode_and_render_stream, default_camera_params,
+        flagship_decoder)
+    from gaussian_gan_decoder_tpu.models.triplane import TriPlaneGenerator
+    from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig
+
+    gen = TriPlaneGenerator(
+        z_dim=32, c_dim=25, w_dim=32, img_resolution=64, variant="panohead",
+        without_sr=True, channel_base=512, channel_max=32,
+        rendering_kwargs=(
+            ("triplane_size", 16), ("depth_resolution", 4),
+            ("depth_resolution_importance", 4),
+            ("c_gen_conditioning_zero", True),
+        ),
+    )
+    dec = flagship_decoder(gen=gen)  # hidden_dim 128: the fused kernel assumes it
+    params = dec.init(jax.random.PRNGKey(0),
+                      generator_params=gen.init(jax.random.PRNGKey(1)))
+    cp, c2w = default_camera_params()
+    init_pos = (jax.random.uniform(jax.random.PRNGKey(2), (640, 3)) - 0.5) * 0.4
+    rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 13, tile_capacity=128,
+                           chunk=32, static_copies=2, overflow_budget=2 ** 11,
+                           packed_payloads=True)
+    zs = jax.random.normal(jax.random.PRNGKey(3), (2, 1, 32))
+    imgs = decode_and_render_stream(
+        dec, params, zs, cp, c2w, init_pos, jnp.asarray(0.227),
+        image_size=64, raster_cfg=rcfg, frame_batch=2)
+    assert imgs.shape == (2, 3, 64, 64)
+    for i in range(2):
+        ref, _ = decode_and_render(
+            dec, params, zs[i], cp, c2w, init_pos, jnp.asarray(0.227),
+            image_size=64, raster_cfg=rcfg, backend="pallas")
+        np.testing.assert_allclose(np.asarray(imgs[i]), np.asarray(ref),
+                                   atol=1e-5)
