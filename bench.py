@@ -57,31 +57,53 @@ def main():
 
     zs = jax.random.normal(jax.random.PRNGKey(3), (iters, 1, 512))
 
-    if backend == "pallas" and frame_batch > 1 and iters % frame_batch == 0:
-        from gaussian_gan_decoder_tpu.flagship import decode_and_render_stream
+    def make_stream(fb):
+        if backend == "pallas" and fb > 1 and iters % fb == 0:
+            from gaussian_gan_decoder_tpu.flagship import (
+                decode_and_render_stream)
 
-        @jax.jit
-        def frame_stream(params, zs):
-            # backbone batched frame_batch at a time, per-frame tail
-            # sequential (memory) — still iters distinct frames
-            imgs = decode_and_render_stream(
-                dec, params, zs, cp, cam2world, init_pos, fov,
-                image_size=image_size, raster_cfg=rcfg,
-                frame_batch=frame_batch,
-            )
-            return jnp.sum(imgs[:, :, ::257, ::257])
-    else:
-        @jax.jit
-        def frame_stream(params, zs):
-            # all frames in ONE device program: measures frames/sec/chip
-            # (per-call host/tunnel dispatch latency is a harness artifact,
-            # not renderer throughput)
-            def body(i, acc):
-                return acc + frame(params, zs[i])
+            @jax.jit
+            def frame_stream(params, zs):
+                # backbone batched fb at a time, per-frame tail sequential
+                # (memory) — still iters distinct frames
+                imgs = decode_and_render_stream(
+                    dec, params, zs, cp, cam2world, init_pos, fov,
+                    image_size=image_size, raster_cfg=rcfg, frame_batch=fb,
+                )
+                return jnp.sum(imgs[:, :, ::257, ::257])
+        else:
+            @jax.jit
+            def frame_stream(params, zs):
+                # all frames in ONE device program: measures frames/sec/
+                # chip (per-call host/tunnel dispatch latency is a harness
+                # artifact, not renderer throughput)
+                def body(i, acc):
+                    return acc + frame(params, zs[i])
 
-            return jax.lax.fori_loop(0, iters, body, 0.0)
+                return jax.lax.fori_loop(0, iters, body, 0.0)
+        return frame_stream
 
-    float(frame_stream(params, zs))  # compile + warmup
+    # fallback cascade: batched stream -> per-frame loop -> legacy
+    # bf16_colors payload format (a compile failure in a newer path must
+    # not zero the benchmark)
+    import dataclasses
+
+    frame_stream = None
+    for fb, packed in ([(frame_batch, True), (1, True), (1, False)]
+                       if frame_batch > 1 else [(1, True), (1, False)]):
+        try:
+            if not packed:
+                rcfg = dataclasses.replace(
+                    rcfg, packed_payloads=False, fused_sort_key=False)
+            candidate = make_stream(fb)
+            float(candidate(params, zs))  # compile + warmup
+            frame_stream = candidate
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"frame_batch={fb} packed={packed} path failed "
+                  f"({type(e).__name__}: {e}); falling back", file=sys.stderr)
+    assert frame_stream is not None, "no benchmark path compiled"
+
     t0 = time.perf_counter()
     float(frame_stream(params, zs))
     dt = (time.perf_counter() - t0) / iters
