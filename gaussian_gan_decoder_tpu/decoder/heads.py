@@ -177,7 +177,10 @@ class GaussianDecoder:
         result = EasyDict()
         cond = self.embedder(init_position) if self.use_xyz_embedding else init_position
 
-        if self.pallas_heads_train:
+        # the fused kernels assume the flagship hidden width (STAGE=128
+        # staging lanes); other hidden_dims take the XLA chain
+        use_pallas = self.hidden_dim == 128
+        if self.pallas_heads_train and use_pallas:
             # custom-VJP fused chain: the XLA heads path round-trips 20
             # hidden activations through HBM in BOTH directions of the
             # train step (~57 ms fwd alone); the Pallas pair keeps them
@@ -200,7 +203,7 @@ class GaussianDecoder:
                 off += out_dim
             return result
 
-        if self.pallas_heads:
+        if self.pallas_heads and use_pallas:
             from .pallas_heads import decode_heads_pallas
 
             out = decode_heads_pallas(
