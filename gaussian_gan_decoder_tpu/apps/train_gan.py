@@ -157,6 +157,36 @@ def main(argv=None):
     total_steps = max(int(args.kimg * 1000 / args.batch), 1)
     nrr_img = cfg.neural_rendering_resolution_initial
 
+    # fixed-grid fake snapshots (ref training_loop.py:363-400: fakes_init
+    # + fakes{kimg}.png) rendered from the EMA generator
+    grid_n = 4
+    grid_z = jax.random.normal(jax.random.PRNGKey(args.seed + 7),
+                               (grid_n, G.z_dim))
+    grid_c = jnp.tile(
+        jnp.asarray(np.eye(4, dtype=np.float32).reshape(-1).tolist()
+                    + [4.2647, 0, 0.5, 0, 4.2647, 0.5, 0, 0, 1])[None],
+        (grid_n, 1))
+
+    def save_fakes(tag, g_ema_params):
+        try:
+            from PIL import Image
+        except ImportError:
+            return
+        outs = []
+        for j in range(grid_n):
+            o = G.synthesis(g_ema_params, G.mapping(
+                g_ema_params, grid_z[j:j + 1], grid_c[j:j + 1]),
+                grid_c[j:j + 1],
+                neural_rendering_resolution=nrr_img)
+            im = o["image"] if "image" in o else o["image_raw"]
+            outs.append(np.asarray(im[0]))
+        grid = np.concatenate(outs, axis=2)      # side by side
+        arr = np.clip((grid.transpose(1, 2, 0) + 1) * 127.5, 0, 255
+                      ).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(args.outdir, f"fakes_{tag}.png"))
+
+    save_fakes("init", state.g_ema)
+
     for i in range(total_steps):
         batch = next(batches)
         if len(batch) == 3:
@@ -189,9 +219,11 @@ def main(argv=None):
         if args.snap > 0 and i > 0 and i % (args.snap * 100) == 0:
             checkpoint.save(os.path.join(args.outdir, f"snapshot_{i:06d}"), state,
                             configs={"G": G, "D": D, "loss_cfg": cfg})
+            save_fakes(f"{i:06d}", state.g_ema)
 
     checkpoint.save(os.path.join(args.outdir, "snapshot_final"), state,
                     configs={"G": G, "D": D, "loss_cfg": cfg})
+    save_fakes("final", state.g_ema)
     print("done; final snapshot written")
 
 
