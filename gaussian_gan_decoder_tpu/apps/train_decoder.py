@@ -258,10 +258,14 @@ def main(argv=None):
             cfg=cfg, target_cfg=tcfg, raster_cfg=rcfg,
         )
     else:
+        # donate the state: at flagship scale params + Adam moments are
+        # ~3x the G copy; without donation every step round-trips them
+        # (init_train_state copies the G tree so the caller's frozen
+        # params survive donation)
         step_fn = jax.jit(make_train_step(
             decoder, frozen_params, vgg, vgg_params, irse, irse_params,
             cfg=cfg, target_cfg=tcfg, raster_cfg=rcfg,
-        ))
+        ), donate_argnums=(0,))
 
     # -- loop ---------------------------------------------------------------------
     z = None
