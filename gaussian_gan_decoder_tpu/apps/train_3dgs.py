@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=512,
                    help="training render size (GT resized)")
     p.add_argument("--save_iterations", type=int, nargs="*", default=[7_000, 30_000])
+    p.add_argument("--gui_port", type=int, default=0,
+                   help=">0: serve the SIBR remote viewer while training "
+                        "(ref gaussian_splatting/train.py:52-65)")
     p.add_argument("--force_cpu", action="store_true")
     args = p.parse_args(argv)
     if args.force_cpu:
@@ -63,10 +66,52 @@ def main(argv=None):
     os.makedirs(args.model_path, exist_ok=True)
     stats = Collector(os.path.join(args.model_path, "stats.jsonl"))
 
+    gui = None
+    if args.gui_port > 0:
+        from ..gaussians.network_gui import NetworkGUI
+
+        gui = NetworkGUI("127.0.0.1", args.gui_port)
+        print(f"network GUI on 127.0.0.1:{args.gui_port}")
+
+    def gui_poll(scene, sh_deg):
+        """Nonblocking viewer service (ref train.py:52-65: render the
+        viewer's camera from the CURRENT gaussians, swallow socket
+        errors)."""
+        from ..splat.rasterize import rasterize
+
+        if gui.conn is None:
+            gui.try_connect()
+            return
+        try:
+            gui.conn.settimeout(0.005)
+            try:
+                cam, _t, _k, smod, (w, h), _m = gui.receive()
+            finally:
+                gui.conn.settimeout(None)
+            if cam is None:
+                gui.send(None, args.source_path)
+                return
+            out = rasterize(
+                cam, scene.get_xyz, scene.get_scaling, scene.get_rotation,
+                scene.get_opacity, shs=scene.get_features,
+                sh_degree=sh_deg, bg=bg, config=rcfg,
+                scale_modifier=smod,
+            )
+            img = np.asarray(
+                jnp.clip(out["render"] * 255, 0, 255)).astype(np.uint8)
+            gui.send(img.transpose(1, 2, 0).tobytes(), args.source_path)
+        except (BlockingIOError, TimeoutError):
+            pass
+        except (ConnectionError, BrokenPipeError, OSError, ValueError):
+            # ValueError covers json decode of a half-read / closed socket
+            gui.conn = None
+
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
     gt_cache = {}
     for i in range(args.iterations):
+        if gui is not None and i % 5 == 0:
+            gui_poll(state.scene, min(i // 1000, cfg.sh_degree))
         ci = int(rng.randint(len(info.cameras)))
         sc = info.cameras[ci]
         if ci not in gt_cache:

@@ -42,3 +42,66 @@ def test_full_eval_pipeline(tmp_path):
     # renders on disk
     renders = os.listdir(os.path.join(out, "toy", "renders"))
     assert any(n.endswith(".png") for n in renders)
+
+
+def test_train_3dgs_gui_hook(tmp_path):
+    """--gui_port serves a SIBR-protocol viewer during training (ref
+    gaussian_splatting/train.py:52-65)."""
+    import socket
+    import threading
+
+    from gaussian_gan_decoder_tpu.apps.train_3dgs import main as train_main
+
+    scene = str(tmp_path / "toy")
+    _make_blender_scene(scene)
+
+    # reserve a port
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    got = {}
+
+    def client():
+        import time
+
+        for _ in range(200):
+            try:
+                cli = socket.create_connection(("127.0.0.1", port), timeout=0.2)
+                break
+            except OSError:
+                time.sleep(0.05)
+        else:
+            return
+        msg = {
+            "resolution_x": 32, "resolution_y": 32, "train": True,
+            "fov_x": 0.7, "fov_y": 0.7, "z_near": 0.01, "z_far": 10.0,
+            "shs_python": False, "rot_scale_python": False,
+            "keep_alive": True, "scaling_modifier": 1.0,
+            "view_matrix": list(np.eye(4).reshape(-1)),
+            "view_projection_matrix": list(np.eye(4).reshape(-1)),
+        }
+        blob = json.dumps(msg).encode()
+        cli.sendall(len(blob).to_bytes(4, "little") + blob)
+        img = b""
+        want = 32 * 32 * 3
+        cli.settimeout(60)
+        while len(img) < want:
+            chunk = cli.recv(want - len(img))
+            if not chunk:
+                return
+            img += chunk
+        n = int.from_bytes(cli.recv(4), "little")
+        got["verify"] = cli.recv(n).decode()
+        got["img"] = img
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    train_main(["-s", scene, "-m", str(tmp_path / "out"),
+                "--iterations", "30", "--capacity", "256",
+                "--image_size", "32", "--gui_port", str(port),
+                "--save_iterations", "--force_cpu"])
+    t.join(timeout=10)
+    assert got.get("img") is not None and len(got["img"]) == 32 * 32 * 3
+    assert got["verify"] == scene
