@@ -9,4 +9,10 @@ from .stylegan2 import (
     Generator,
 )
 from .superresolution import make_superresolution
+from .stylegan3 import (
+    Generator3,
+    SynthesisInput3,
+    SynthesisLayer3,
+    SynthesisNetwork3,
+)
 from .triplane import TriPlaneGenerator, OSGDecoder

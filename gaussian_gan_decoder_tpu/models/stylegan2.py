@@ -50,15 +50,21 @@ class FullyConnectedLayer:
     bias: bool = True
     activation: str = "linear"
     lr_multiplier: float = 1.0
-    bias_init: float = 0.0
+    bias_init: float | Tuple[float, ...] = 0.0
+    weight_init: float = 1.0  # ref networks_stylegan3.py:78 (SG3 affine uses 0)
 
     def init(self, key) -> Params:
         w = jax.random.normal(
             key, (self.out_features, self.in_features), jnp.float32
-        ) / self.lr_multiplier
+        ) * (self.weight_init / self.lr_multiplier)
         p = {"weight": w}
         if self.bias:
-            p["bias"] = jnp.full((self.out_features,), self.bias_init, jnp.float32)
+            # stored value is bias_init/lr_mult so apply's *lr_mult restores it
+            # (ref networks_stylegan2.py:109-112 folds lr_mult the same way)
+            b = jnp.broadcast_to(
+                jnp.asarray(self.bias_init, jnp.float32), (self.out_features,)
+            )
+            p["bias"] = b / self.lr_multiplier
         return p
 
     def apply(self, params: Params, x: jax.Array) -> jax.Array:

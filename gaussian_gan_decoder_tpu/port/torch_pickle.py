@@ -141,7 +141,9 @@ def _nest(flat: Dict[str, np.ndarray]) -> Dict:
     tree: Dict = {}
     for key, arr in flat.items():
         # static FIR constants are config, not params, in this framework
-        if key.endswith("resample_filter"):
+        # (SG2 resample_filter; SG3 per-layer Kaiser filters are re-derived
+        # from the layer geometry in models/stylegan3.py:_filters)
+        if key.endswith(("resample_filter", "up_filter", "down_filter")):
             continue
         for old, new in renames.items():
             key = key.replace(old, new)
