@@ -52,9 +52,47 @@ def build_argparser():
     p.add_argument("--num_fp16_res", type=int, default=4,
                    help="bf16 blocks at the top N resolutions (the "
                         "reference's mixed-precision scheme; bf16 on TPU)")
+    p.add_argument("--resume", default="",
+                   help="resume source: a reference GAN snapshot .pkl "
+                        "(ports G/D/G_ema params, ref training_loop.py:"
+                        "160-166) or an orbax snapshot dir written by "
+                        "this trainer (restores the full train state)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--force_cpu", action="store_true")
     return p
+
+
+def _resume(path, state):
+    """Fill `state` from a resume source (see --resume help)."""
+    if path.endswith(".pkl"):
+        from ..port.torch_pickle import load_gan_snapshot_pkl
+
+        snap = load_gan_snapshot_pkl(path)
+
+        def _take(ours, theirs, what):
+            ts = jax.tree.structure(ours)
+            ps = jax.tree.structure(theirs)
+            assert ts == ps, (
+                f"{what} param tree from {path} does not match the CLI "
+                f"config — build G/D with the snapshot's shapes"
+            )
+            return jax.tree.map(lambda o, t: jnp.asarray(t, o.dtype),
+                                ours, theirs)
+
+        state = state._replace(
+            g_params=_take(state.g_params, snap["g_params"], "G"),
+            g_ema=_take(state.g_ema, snap["g_ema"], "G_ema"),
+        )
+        if snap["d_params"] is not None:
+            state = state._replace(
+                d_params=_take(state.d_params, snap["d_params"], "D"))
+        print(f"resumed G/D/G_ema params from reference pickle {path}")
+        return state
+    from ..train import checkpoint
+
+    state = checkpoint.restore(path, state)
+    print(f"resumed train state from {path} (step {int(state.step)})")
+    return state
 
 
 def main(argv=None):
@@ -124,6 +162,8 @@ def main(argv=None):
             return out
 
     state = init_gan_state(jax.random.PRNGKey(args.seed), G, D, cfg)
+    if args.resume:
+        state = _resume(args.resume, state)
     step_fn, _ = make_gan_train_step(G, D, cfg, augment_fn=augment_fn)
     step_fn = jax.jit(step_fn, donate_argnums=(0,))
 

@@ -104,13 +104,16 @@ def extract_state(obj, prefix: str = "", out: Optional[Dict[str, np.ndarray]] = 
     if isinstance(obj, PersistentStub):
         state = obj.state
     else:
-        try:
-            import torch
-
-            if isinstance(obj, torch.nn.Module):
-                state = obj.__dict__
-        except ImportError:
-            pass
+        # Duck-typed torch-module state: covers live torch modules AND
+        # plain-pickled (non-persistent) reference modules that the
+        # unpickler stands in as _EasyDict — e.g. eg3d's OSGDecoder,
+        # which unlike PanoHead's is NOT @persistent_class
+        # (/root/reference/eg3d/training/triplane.py:116 vs
+        # PanoHead/training/triplane.py:295); its _parameters land in
+        # the stand-in's instance __dict__ via pickle BUILD.
+        d = getattr(obj, "__dict__", None)
+        if isinstance(d, dict) and ("_parameters" in d or "_modules" in d):
+            state = d
     if state is None:
         return out
     for bag in ("_parameters", "_buffers"):
@@ -277,3 +280,84 @@ def load_decoder_pkl(path_or_file, key: str = "decoder"):
     params = decoder_head_params_from_state(extract_state(d))
     params["G"] = generator_params_from_state(extract_state(g_stub))
     return cfg, params
+
+
+# ----------------------------------------------------------------------------
+# discriminators + full GAN snapshots (ref training_loop.py:430-444 pickles
+# {'G','D','G_ema','augment_pipe'}; training_loop.py:160-166 resumes by
+# copy_params_and_buffers from such a snapshot)
+
+
+_DISC_MODES = {
+    "SingleDiscriminator": "single",
+    "DualDiscriminator": "dual",
+    "MaskDualDiscriminator": "mask_dual",
+}
+
+
+def discriminator_config_from_pickle(d_stub: PersistentStub):
+    """Pickled init metadata -> models/discriminator.py Discriminator
+    (ref dual_discriminator.py ctors; positional order c_dim,
+    img_resolution, img_channels[, seg_resolution, seg_channels])."""
+    from ..models.discriminator import Discriminator
+
+    cls = d_stub.class_name.rsplit(".", 1)[-1]
+    mode = _DISC_MODES.get(cls)
+    assert mode is not None, f"unsupported discriminator class {cls}"
+    kw = dict(d_stub.init_kwargs)
+    names = ["c_dim", "img_resolution", "img_channels"]
+    if mode == "mask_dual":
+        names += ["seg_resolution", "seg_channels"]
+    pos = dict(zip(names, d_stub.init_args))
+
+    def get(k, default):
+        return pos.get(k, kw.get(k, default))
+
+    ep = dict(kw.get("epilogue_kwargs", {}))
+    return Discriminator(
+        c_dim=get("c_dim", 25),
+        img_resolution=get("img_resolution", 512),
+        img_channels=get("img_channels", 3),
+        mode=mode,
+        architecture=kw.get("architecture", "resnet"),
+        channel_base=kw.get("channel_base", 32768),
+        channel_max=kw.get("channel_max", 512),
+        num_fp16_res=kw.get("num_fp16_res", 4),
+        conv_clamp=kw.get("conv_clamp", 256),
+        cmap_dim=kw.get("cmap_dim"),
+        disc_c_noise=float(kw.get("disc_c_noise", 0.0)),
+        seg_resolution=get("seg_resolution", 64),
+        seg_channels=get("seg_channels", 1),
+        mbstd_group_size=ep.get("mbstd_group_size", 4),
+    )
+
+
+def discriminator_params_from_state(flat: Dict[str, np.ndarray]) -> Dict:
+    """Flat torch names -> Discriminator param tree (b{res}/sb{res}/
+    mapping/b4 naming matches the reference module tree 1:1)."""
+    return _nest(flat)
+
+
+def load_gan_snapshot_pkl(path_or_file):
+    """Reference GAN training snapshot -> dict with ported configs/params:
+    {'G': cfg, 'g_params', 'g_ema', 'D': cfg (or None), 'd_params'}."""
+    data = load_reference_pickle(path_or_file)
+    assert isinstance(data, dict), type(data)
+    out: Dict[str, Any] = {}
+    g = data.get("G") or data.get("G_ema")
+    assert isinstance(g, PersistentStub), "snapshot has no generator"
+    out["G"] = generator_config_from_pickle(g)
+    out["g_params"] = generator_params_from_state(extract_state(g))
+    ema = data.get("G_ema")
+    out["g_ema"] = (
+        generator_params_from_state(extract_state(ema))
+        if isinstance(ema, PersistentStub) else out["g_params"]
+    )
+    d = data.get("D")
+    if isinstance(d, PersistentStub):
+        out["D"] = discriminator_config_from_pickle(d)
+        out["d_params"] = discriminator_params_from_state(extract_state(d))
+    else:
+        out["D"] = None
+        out["d_params"] = None
+    return out

@@ -132,3 +132,22 @@ def test_gan_nrr_fade_single_program():
             assert np.isfinite(float(v)), (k, float(v))
     assert traces["n"] == 1, "fade must not retrace the step"
     assert seen[0] == 8.0 and seen[-1] == 16.0 and seen[1] in (8.0, 16.0)
+
+
+def test_train_gan_cli_resume_roundtrip(tmp_path):
+    """Smoke-train, snapshot, then resume from the orbax snapshot via
+    --resume (the reference's --resume contract, PanoHead/train.py:138,
+    training_loop.py:160-166)."""
+    from gaussian_gan_decoder_tpu.apps.train_gan import main
+
+    out1 = str(tmp_path / "run1")
+    main(["--smoke", "--force_cpu", "--kimg", "0.002", "--batch", "2",
+          "--outdir", out1, "--seed", "3"])
+    import os
+
+    snap = os.path.join(out1, "snapshot_final")
+    assert os.path.isdir(snap)
+    out2 = str(tmp_path / "run2")
+    main(["--smoke", "--force_cpu", "--kimg", "0.002", "--batch", "2",
+          "--outdir", out2, "--seed", "3", "--resume", snap])
+    assert os.path.isdir(os.path.join(out2, "snapshot_final"))

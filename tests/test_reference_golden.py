@@ -349,3 +349,97 @@ def test_embedder_golden():
     # fp32 rounding of x*freq at freq=512 shifts sin/cos by up to
     # ~eps*512 ≈ 6e-5 (torch stays f32; we compute the product in f64)
     np.testing.assert_allclose(b, a, atol=1e-4)
+
+
+# ----------------------------------------------------------------------------
+# discriminators + full GAN snapshot port (ref dual_discriminator.py,
+# training_loop.py:430-444 snapshot layout)
+
+
+def _build_ref_discriminators():
+    from training.dual_discriminator import (
+        DualDiscriminator,
+        MaskDualDiscriminator,
+    )
+
+    torch.manual_seed(9)
+    common = dict(
+        channel_base=512, channel_max=32, num_fp16_res=0, conv_clamp=None,
+        epilogue_kwargs={"mbstd_group_size": 2},
+    )
+    dual = DualDiscriminator(c_dim=25, img_resolution=32, img_channels=3,
+                             disc_c_noise=0.0, **common).eval()
+    mask = MaskDualDiscriminator(c_dim=25, img_resolution=32, img_channels=3,
+                                 seg_resolution=16, seg_channels=1,
+                                 disc_c_noise=0.0, **common).eval()
+    return dual, mask
+
+
+def _disc_inputs(with_mask):
+    rng = np.random.RandomState(4)
+    img = {
+        "image": (rng.rand(2, 3, 32, 32) * 2 - 1).astype(np.float32),
+        "image_raw": (rng.rand(2, 3, 16, 16) * 2 - 1).astype(np.float32),
+    }
+    if with_mask:
+        img["image_mask"] = rng.rand(2, 1, 16, 16).astype(np.float32)
+    c = np.concatenate([_camera(), _camera()], axis=0)
+    return img, c
+
+
+@pytest.mark.parametrize("which", ["dual", "mask_dual"])
+def test_discriminator_golden(which):
+    """Forward parity of the ported Dual/MaskDual discriminators — guards
+    the GAN-training resume path (filtered_resizing, seg branch summation,
+    mbstd epilogue, conditioning mapping)."""
+    from gaussian_gan_decoder_tpu.port.torch_pickle import (
+        discriminator_config_from_pickle,
+        discriminator_params_from_state,
+    )
+
+    dual, mask = _build_ref_discriminators()
+    ref_d = dual if which == "dual" else mask
+    buf = pickle.dumps({"D": ref_d})
+    stub = load_reference_pickle(io.BytesIO(buf))["D"]
+    cfg = discriminator_config_from_pickle(stub)
+    assert cfg.mode == which
+    params = discriminator_params_from_state(extract_state(stub))
+    img, c = _disc_inputs(with_mask=(which == "mask_dual"))
+    with torch.no_grad():
+        ref_logits = ref_d(
+            {k: torch.from_numpy(v) for k, v in img.items()},
+            torch.from_numpy(c),
+        ).numpy()
+    logits = np.asarray(cfg.apply(
+        params, {k: jnp.asarray(v) for k, v in img.items()}, jnp.asarray(c)
+    ))
+    np.testing.assert_allclose(logits, ref_logits, atol=2e-4)
+
+
+def test_gan_snapshot_port_roundtrip():
+    """{'G','D','G_ema'} snapshot -> load_gan_snapshot_pkl -> configs +
+    params; G_ema distinct from G; D config fields survive."""
+    from gaussian_gan_decoder_tpu.port.torch_pickle import load_gan_snapshot_pkl
+
+    G = _build_ref_generator()
+    _, mask = _build_ref_discriminators()
+    import copy
+
+    G_ema = copy.deepcopy(G)
+    with torch.no_grad():
+        for p in G_ema.parameters():
+            p.add_(0.01)
+    buf = pickle.dumps({"G": G, "D": mask, "G_ema": G_ema})
+    snap = load_gan_snapshot_pkl(io.BytesIO(buf))
+    assert snap["G"].variant == "panohead"
+    assert snap["D"].mode == "mask_dual"
+    assert snap["D"].seg_resolution == 16
+    assert snap["D"].mbstd_group_size == 2
+    g0 = jax.tree.leaves(snap["g_params"])[0]
+    e0 = jax.tree.leaves(snap["g_ema"])[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(e0))
+    # trees must be jax-structural matches of fresh inits (resume contract)
+    init_d = snap["D"].init(jax.random.PRNGKey(0))
+    assert jax.tree.structure(init_d) == jax.tree.structure(snap["d_params"])
+    init_g = snap["G"].init(jax.random.PRNGKey(0))
+    assert jax.tree.structure(init_g) == jax.tree.structure(snap["g_params"])
