@@ -48,6 +48,21 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", 4))
 
+    # raster-config sweep knobs (PERFORMANCE.md round-2 roadmap: the sort
+    # is the largest raster cost; copies->overflow rebalance shrinks the
+    # sorted rows, fused_sort_key halves the key operands)
+    import dataclasses as _dc
+
+    overrides = {}
+    if "BENCH_COPIES" in os.environ:
+        overrides["static_copies"] = int(os.environ["BENCH_COPIES"])
+    if "BENCH_OVERFLOW" in os.environ:
+        overrides["overflow_budget"] = int(os.environ["BENCH_OVERFLOW"])
+    if "BENCH_FUSED_KEY" in os.environ:
+        overrides["fused_sort_key"] = bool(int(os.environ["BENCH_FUSED_KEY"]))
+    if overrides:
+        rcfg = _dc.replace(rcfg, **overrides)
+
     def frame(params, z):
         img, _ = decode_and_render(
             dec, params, z, cp, cam2world, init_pos, fov,

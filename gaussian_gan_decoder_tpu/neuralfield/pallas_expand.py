@@ -104,7 +104,7 @@ def build_brick_table(feats: jax.Array, dtype=None, interpret: bool | None = Non
         functools.partial(_expand_kernel, C=C, W=W, D=D,
                           nz=D + 1, nyb=NY // YB),
         grid=(B, D + 1, NY // YB),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, YB, W + 1, 8 * C),
             lambda b, z, yb: (b * (D + 1) + z, yb, 0, 0),

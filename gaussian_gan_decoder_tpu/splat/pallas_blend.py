@@ -266,7 +266,7 @@ def pallas_blend(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, P, 4), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -480,7 +480,7 @@ def _blend_train_fwd(tile_starts, pair_attrs_t, grid_x, grid_y, tile_size,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec((1, P, 4), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -518,7 +518,7 @@ def _blend_train_bwd_call(tile_starts, pair_attrs_t, ent, dout4,
             num_scalar_prefetch=1,
             grid=(T,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, maxc, P), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, P, 4), lambda t, *_: (t, 0, 0),

@@ -14,6 +14,12 @@ timeout 1800 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 log "bench BENCH_FRAME_BATCH=1 (per-frame)"
 BENCH_FRAME_BATCH=1 timeout 1500 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 
+log "bench copies=1 overflow=2^20 (sort-row rebalance)"
+BENCH_COPIES=1 BENCH_OVERFLOW=$((2**20)) timeout 1500 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
+log "bench fused uint32 sort key"
+BENCH_FUSED_KEY=1 timeout 1500 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
 log "profile_ablate (packed path)"
 PROF_STAGES=synth,table,table_q,sample,stagein,decode,fields,pairs,bin,bin_all,full \
   timeout 2400 $PY scripts/profile_ablate.py 2>/dev/null | tee -a "$OUT"

@@ -50,9 +50,15 @@ def test_fast_segment_alignment_prefix(rng):
     assert p > 45.0, p
 
 
-def test_render_packed_matches_render_simple():
+import pytest
+
+
+@pytest.mark.parametrize("copies", [1, 2])
+def test_render_packed_matches_render_simple(copies):
     """Channel-major packed hot path == XLA render_simple (bit-close),
-    including masking of the heads kernel's padding rows."""
+    including masking of the heads kernel's padding rows. copies=1 is the
+    sort-row-rebalance candidate (all area>=2 pairs ride the overflow
+    lane, PERFORMANCE.md round-2 roadmap / BENCH_COPIES knob)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -72,7 +78,8 @@ def test_render_packed_matches_render_simple():
     opa = jax.random.normal(jax.random.fold_in(k, 3), (N, 1))
     col = jax.random.normal(jax.random.fold_in(k, 4), (N, 3)) * 0.3
     cfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 14, tile_capacity=256,
-                          chunk=32, static_copies=2, overflow_budget=2 ** 12)
+                          chunk=32, static_copies=copies,
+                          overflow_budget=2 ** 12)
     bg = jnp.asarray([0.5, 0.5, 0.5])
     ref = render_simple(cam, dict(xyz=xyz, scale=scale, rotation=rot,
                                   opacity=opa, color=col), bg=bg, config=cfg,

@@ -443,3 +443,115 @@ def test_gan_snapshot_port_roundtrip():
     assert jax.tree.structure(init_d) == jax.tree.structure(snap["d_params"])
     init_g = snap["G"].init(jax.random.PRNGKey(0))
     assert jax.tree.structure(init_g) == jax.tree.structure(snap["g_params"])
+
+
+# ----------------------------------------------------------------------------
+# superresolution stack variants (ref PanoHead/training/superresolution.py).
+# The triplane full-synthesis golden exercises only Hybrid2X; real 512^2
+# PanoHead checkpoints ride Hybrid8XDC and LPFF/1024 ones 4XCustom — drive
+# each variant's ported stack against the reference module directly.
+
+
+_SR_CASES = [
+    # (class, img_resolution, input_res_interp_from, atol)
+    ("SuperresolutionHybrid8X", 512, 64, 2e-4),
+    ("SuperresolutionHybrid8XDC", 512, 64, 2e-4),
+    ("SuperresolutionHybrid4X", 256, 64, 2e-4),
+    ("SuperresolutionHybrid2X", 128, 32, 2e-4),
+]
+
+
+@pytest.mark.parametrize("cls,img_res,in_res,atol", _SR_CASES)
+def test_superresolution_variant_golden(cls, img_res, in_res, atol):
+    import importlib
+
+    from gaussian_gan_decoder_tpu.models.superresolution import make_superresolution
+
+    ref_mod = importlib.import_module("training.superresolution")
+    torch.manual_seed(13)
+    ref = getattr(ref_mod, cls)(
+        channels=32, img_resolution=img_res, sr_num_fp16_res=0,
+        sr_antialias=True,
+    ).eval()
+    ours = make_superresolution(
+        f"training.superresolution.{cls}", channels=32,
+        img_resolution=img_res, sr_num_fp16_res=0, sr_antialias=True,
+    )
+    buf = pickle.dumps({"sr": ref})
+    stub = load_reference_pickle(io.BytesIO(buf))["sr"]
+    params = generator_params_from_state(extract_state(stub))
+    # tree structural parity with a fresh init (resume/port contract)
+    init = ours.init(jax.random.PRNGKey(0))
+    assert jax.tree.structure(init) == jax.tree.structure(params)
+
+    rng = np.random.RandomState(2)
+    x = (rng.rand(1, 32, in_res, in_res) * 2 - 1).astype(np.float32)
+    rgb = (rng.rand(1, 3, in_res, in_res) * 2 - 1).astype(np.float32)
+    ws = rng.randn(1, 5, 512).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(rgb), torch.from_numpy(x),
+                      torch.from_numpy(ws), noise_mode="none").numpy()
+    out = np.asarray(ours.apply(params, jnp.asarray(rgb), jnp.asarray(x),
+                                jnp.asarray(ws), noise_mode="none"))
+    assert out.shape == ref_out.shape == (1, 3, img_res, img_res)
+    np.testing.assert_allclose(out, ref_out, atol=atol, rtol=1e-3)
+
+
+def test_superresolution_4xcustom_golden():
+    """4XCustom (LPFF 1024^2 path) returns the FEATURE image, not rgb
+    (ref superresolution.py:92-119 forward returns x)."""
+    import importlib
+
+    from gaussian_gan_decoder_tpu.models.superresolution import make_superresolution
+
+    ref_mod = importlib.import_module("training.superresolution")
+    torch.manual_seed(13)
+    ref = ref_mod.SuperresolutionHybrid4XCustom(
+        channels=32, img_resolution=1024, sr_num_fp16_res=0, sr_antialias=True,
+    ).eval()
+    ours = make_superresolution(
+        "training.superresolution.SuperresolutionHybrid4XCustom", channels=32,
+        img_resolution=1024, sr_num_fp16_res=0, sr_antialias=True,
+    )
+    buf = pickle.dumps({"sr": ref})
+    stub = load_reference_pickle(io.BytesIO(buf))["sr"]
+    params = generator_params_from_state(extract_state(stub))
+    rng = np.random.RandomState(2)
+    x = (rng.rand(1, 32, 128, 128) * 2 - 1).astype(np.float32)
+    rgb = (rng.rand(1, 3, 128, 128) * 2 - 1).astype(np.float32)
+    ws = rng.randn(1, 4, 512).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(rgb), torch.from_numpy(x),
+                      torch.from_numpy(ws), noise_mode="none").numpy()
+    out = np.asarray(ours.apply(params, jnp.asarray(rgb), jnp.asarray(x),
+                                jnp.asarray(ws), noise_mode="none"))
+    assert out.shape == ref_out.shape == (1, 96, 1024, 1024)  # features
+    np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=1e-3)
+
+
+def test_ref_superresolution_2xcustom_unusable_upstream():
+    """Document the reference defect: SuperresolutionHybrid2XCustom
+    declares its NoUp block0 at resolution=256 but interpolates inputs to
+    input_resolution=64 (superresolution.py:130-136), so the block's own
+    shape contract (assert_shape at :292) rejects every forward — the
+    variant cannot run upstream. Our table keeps its declared geometry;
+    make_superresolution constructs it without the crash."""
+    import importlib
+
+    from gaussian_gan_decoder_tpu.models.superresolution import make_superresolution
+
+    ref_mod = importlib.import_module("training.superresolution")
+    ref = ref_mod.SuperresolutionHybrid2XCustom(
+        channels=32, img_resolution=512, sr_num_fp16_res=0, sr_antialias=True,
+    ).eval()
+    rng = np.random.RandomState(0)
+    rgb = torch.from_numpy((rng.rand(1, 3, 64, 64) * 2 - 1).astype(np.float32))
+    x = torch.from_numpy((rng.rand(1, 32, 64, 64) * 2 - 1).astype(np.float32))
+    ws = torch.from_numpy(rng.randn(1, 3, 512).astype(np.float32))
+    with pytest.raises(AssertionError), torch.no_grad():
+        ref(rgb, x, ws, noise_mode="none")
+    # ours constructs (and is exercised via make_superresolution table)
+    make_superresolution(
+        "training.superresolution.SuperresolutionHybrid2XCustom",
+        channels=32, img_resolution=512,
+    )
