@@ -99,6 +99,10 @@ def build_argparser():
                    help="bf16 brick tables for the frozen-G probe path "
                         "(target render + sigma grid): halves probe gather "
                         "bytes at ~2^-8 relative feature error")
+    p.add_argument("--bf16_lpips", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="VGG16-LPIPS feature convs in bf16 (distance stays "
+                        "f32)")
     p.add_argument("--pallas_probe_build", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="Pallas streaming build for the probe brick table")
@@ -186,6 +190,7 @@ def main(argv=None):
         apply_mask_to_rendering=args.apply_mask_to_rendering,
         bg_color=bg,
         raster_backend=args.raster_backend,
+        lpips_bf16=args.bf16_lpips,
     )
     tcfg = TargetSamplerConfig(
         truncation=args.truncation, init_truncation=args.init_truncation,

@@ -35,7 +35,9 @@ def build_argparser():
     p.add_argument("--glr", type=float, default=0.0025)
     p.add_argument("--dlr", type=float, default=0.002)
     p.add_argument("--gamma", type=float, default=1.0, help="R1 weight")
-    p.add_argument("--gen_pose_cond", type=bool, default=True)
+    # BooleanOptionalAction, not type=bool: bool("False") is True
+    p.add_argument("--gen_pose_cond", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--gpc_reg_prob", type=float, default=0.5)
     p.add_argument("--density_reg", type=float, default=0.25)
     p.add_argument("--trans_reg", type=float, default=10.0)

@@ -60,7 +60,9 @@ class VGG16LPIPS:
 
     def features(self, params: Dict, x: jax.Array) -> List[jax.Array]:
         """x: (N,3,H,W) in [0,255]. Returns unit-normalised tap features."""
-        x = x - jnp.asarray(_IMAGENET_MEAN).reshape(1, 3, 1, 1)
+        # keep the caller's dtype end-to-end (a bf16 input must not be
+        # silently promoted back to f32 by the f32 mean/bias constants)
+        x = x - jnp.asarray(_IMAGENET_MEAN).reshape(1, 3, 1, 1).astype(x.dtype)
         feats = []
         for i, (cout, pool) in enumerate(_VGG16_PLAN):
             if pool:
@@ -72,7 +74,7 @@ class VGG16LPIPS:
             x = jax.lax.conv_general_dilated(
                 x, w.astype(x.dtype), (1, 1), padding=((1, 1), (1, 1)),
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            ) + b.reshape(1, -1, 1, 1)
+            ) + b.reshape(1, -1, 1, 1).astype(x.dtype)
             x = jax.nn.relu(x)
             if i in self.taps:
                 n = x * jax.lax.rsqrt(
@@ -119,7 +121,8 @@ class VGG16LPIPS:
         return params
 
 
-def lpips_loss(vgg: VGG16LPIPS, params, target, image, downsampling: bool = True):
+def lpips_loss(vgg: VGG16LPIPS, params, target, image, downsampling: bool = True,
+               dtype=None):
     """(ref main/loss_utils/lpips.py:17-34): area-pool to 256^2, then the
     NvidiaVGG16 wrapper's (img+1)/2*255 mapping — the training loop passes
     [0,1] images into a wrapper expecting [-1,1], squashing the effective
@@ -128,6 +131,11 @@ def lpips_loss(vgg: VGG16LPIPS, params, target, image, downsampling: bool = True
         image = area_downsample(image, 256)
     if downsampling and target.shape[2] > 256:
         target = area_downsample(target, 256)
+    if dtype is not None:
+        image = image.astype(dtype)
+        target = target.astype(dtype)
     fi = vgg.embed(params, (image + 1.0) / 2.0 * 255.0)
     ft = vgg.embed(params, (target + 1.0) / 2.0 * 255.0)
-    return jnp.sum(jnp.square(fi - ft), axis=1).mean()
+    # distance in f32 regardless of the feature compute dtype
+    diff = fi.astype(jnp.float32) - ft.astype(jnp.float32)
+    return jnp.sum(jnp.square(diff), axis=1).mean()

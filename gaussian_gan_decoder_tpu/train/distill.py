@@ -66,6 +66,8 @@ class DistillConfig:
     id_min_fov: float = 8.0
     raster_backend: str = "xla"   # 'xla' (any platform) | 'pallas_diff'
     # (TPU: custom-VJP Pallas blend, ~2.8x faster rasterizer fwd+bwd)
+    lpips_bf16: bool = False      # VGG16 feature convs in bf16 (MXU);
+    # the distance itself stays f32 — measured knob, default off
 
 
 class TrainState(NamedTuple):
@@ -147,7 +149,8 @@ def make_loss_fn(
         ssim_val, _ = ssim(image, target_img)
         lssim = 1.0 - ssim_val
         lsobel, _ = sobel_loss(image, target_img)
-        llpips = lpips_loss(vgg, vgg_params, target_img[None], image[None])
+        llpips = lpips_loss(vgg, vgg_params, target_img[None], image[None],
+                            dtype=jnp.bfloat16 if cfg.lpips_bf16 else None)
 
         loss = (
             ll1 * cfg.l1_weight

@@ -27,7 +27,8 @@ def main():
     vgg = VGG16LPIPS()
     vggp = vgg.init(jax.random.PRNGKey(2))
     backend = os.environ.get("RASTER", "pallas_diff")
-    cfg = DistillConfig(raster_backend=backend)
+    cfg = DistillConfig(raster_backend=backend,
+                        lpips_bf16=bool(os.environ.get("DS_BF16_LPIPS")))
     tcfg = TargetSamplerConfig(
         bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
         pallas_probe_build=bool(os.environ.get("DS_PALLAS_BUILD")),

@@ -145,3 +145,26 @@ def test_adaptive_avg_pool_matches_torch(rng):
     want = torch.nn.AdaptiveAvgPool2d((112, 112))(torch.tensor(x)).numpy()
     got = np.asarray(_adaptive_avg_pool(jnp.asarray(x), 112))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_lpips_bf16_close_to_f32():
+    """The --bf16_lpips knob: bf16 feature convs must stay within a small
+    relative error of the f32 LPIPS distance (the distance itself is
+    computed in f32 either way)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.losses import VGG16LPIPS
+    from gaussian_gan_decoder_tpu.losses.lpips import lpips_loss
+
+    vgg = VGG16LPIPS()
+    p = vgg.init(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    a = jax.random.uniform(k, (1, 3, 128, 128)) * 2 - 1
+    b = jnp.clip(a + jax.random.normal(jax.random.fold_in(k, 1), a.shape) * 0.1,
+                 -1, 1)
+    f32 = float(lpips_loss(vgg, p, a, b))
+    bf16 = float(lpips_loss(vgg, p, a, b, dtype=jnp.bfloat16))
+    assert f32 > 0
+    assert abs(bf16 - f32) / f32 < 0.05, (bf16, f32)
