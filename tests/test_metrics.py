@@ -99,3 +99,21 @@ def test_ppl2_wend_smoke():
                       dist_fn=dist_fn, num_samples=64, batch_size=16)
     v = out["results"]["ppl2_wend"]
     assert jnp.isfinite(v) and v >= 0.0
+
+
+def test_run_metric_pipeline_dry_run(tmp_path, capsys):
+    """Batch runner (ref eg3d/run_metric_pipeline.py role): JSON argv
+    lists -> subprocess commands; --dry_run prints without executing."""
+    import json
+
+    from gaussian_gan_decoder_tpu.apps.run_metric_pipeline import main
+
+    batch = [["--checkpoint", "x.ckpt", "--metrics", "fid50k_full"],
+             ["--network_pkl", "g.pkl", "--metrics", "kid50k"]]
+    f = tmp_path / "batch.json"
+    f.write_text(json.dumps(batch))
+    results = main(["--batch", str(f), "--dry_run"])
+    assert len(results) == 2
+    assert all(r["returncode"] is None for r in results)
+    out = capsys.readouterr().out
+    assert "calc_metrics" in out and "fid50k_full" in out

@@ -555,3 +555,50 @@ def test_ref_superresolution_2xcustom_unusable_upstream():
         "training.superresolution.SuperresolutionHybrid2XCustom",
         channels=32, img_resolution=512,
     )
+
+
+# ----------------------------------------------------------------------------
+# checkpoint converter (apps/convert_checkpoint.py — the reference's
+# resave_model.py migration role: reference pickle -> native artifacts)
+
+
+def test_convert_checkpoint_gan_roundtrip(tmp_path):
+    from gaussian_gan_decoder_tpu.apps.convert_checkpoint import (
+        convert_gan,
+        load_native_gan,
+    )
+
+    G = _build_ref_generator()
+    pkl = tmp_path / "snap.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"G": G, "G_ema": G}, f)
+    out = tmp_path / "native"
+    info = convert_gan(str(pkl), str(out))
+    assert "config.json" in info["files"] and "g_ema.npz" in info["files"]
+
+    gen, params = load_native_gan(str(out))
+    assert gen.variant == "panohead" and gen.z_dim == 64
+    # ported-forward parity through the native roundtrip
+    z = np.random.RandomState(1).randn(1, 64).astype(np.float32)
+    c = _camera()
+    with torch.no_grad():
+        ws_ref = G.mapping(torch.from_numpy(z), torch.from_numpy(c),
+                           truncation_psi=0.7).numpy()
+    ws = np.asarray(gen.mapping(params, jnp.asarray(z), jnp.asarray(c),
+                                truncation_psi=0.7))
+    np.testing.assert_allclose(ws, ws_ref, atol=5e-6)
+
+
+def test_convert_checkpoint_decoder_roundtrip(tmp_path):
+    from gaussian_gan_decoder_tpu.apps.convert_checkpoint import convert_decoder
+    from gaussian_gan_decoder_tpu.decoder.snapshot import load_decoder
+
+    dec = _build_ref_decoder(use_xyz_embedding=False)
+    pkl = tmp_path / "decoder.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"decoder": dec, "training_options": {}}, f)
+    out = tmp_path / "native_dec"
+    convert_decoder(str(pkl), str(out))
+    cfg, params, configs = load_decoder(str(out))
+    assert cfg.decoder_type == "sequential_reversed"
+    _assert_decoder_forward_parity(dec, cfg, params)
