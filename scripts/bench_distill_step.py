@@ -15,9 +15,32 @@ from gaussian_gan_decoder_tpu.train.distill import (
     DistillConfig, TrainState, make_optimizer, make_train_step)
 
 ITERS = int(os.environ.get("DS_ITERS", 3))
+SMOKE = bool(os.environ.get("DS_SMOKE"))
+if SMOKE:
+    # smoke = plumbing validation; never claim the chip for it
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _generator():
+    """Flagship by default; DS_SMOKE=1 swaps in a tiny CPU-runnable config
+    so the whole script's plumbing (all DS_* knob combinations) can be
+    validated without the chip."""
+    if os.environ.get("DS_SMOKE"):
+        from gaussian_gan_decoder_tpu.models.triplane import TriPlaneGenerator
+
+        return TriPlaneGenerator(
+            z_dim=32, c_dim=25, w_dim=32, img_resolution=64,
+            variant="panohead", without_sr=True,
+            channel_base=512, channel_max=32,
+            rendering_kwargs=(("triplane_size", 16), ("depth_resolution", 4),
+                              ("depth_resolution_importance", 4)),
+        )
+    return flagship_generator()
+
+
 
 def main():
-    gen = flagship_generator()
+    gen = _generator()
     dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
                           use_gen_finetune=True,
                           pallas_heads_train=bool(os.environ.get("DS_PALLAS_HEADS")),
@@ -28,13 +51,22 @@ def main():
     vggp = vgg.init(jax.random.PRNGKey(2))
     backend = os.environ.get("RASTER", "pallas_diff")
     cfg = DistillConfig(raster_backend=backend,
-                        lpips_bf16=bool(os.environ.get("DS_BF16_LPIPS")))
+                        lpips_bf16=bool(os.environ.get("DS_BF16_LPIPS")),
+                        **({"image_size": 64} if SMOKE else {}))
     tcfg = TargetSamplerConfig(
         bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
         pallas_probe_build=bool(os.environ.get("DS_PALLAS_BUILD")),
+        **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
+           if SMOKE else {}),
     )
-    rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 21, tile_capacity=1024,
-                           chunk=64, static_copies=2, overflow_budget=2 ** 16)
+    if SMOKE:
+        rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 12,
+                               tile_capacity=64, chunk=32, static_copies=2,
+                               overflow_budget=2 ** 10)
+    else:
+        rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 21,
+                               tile_capacity=1024, chunk=64, static_copies=2,
+                               overflow_budget=2 ** 16)
     step = make_train_step(dec, gp, vgg, vggp, None, None, cfg, tcfg, rcfg)
     tx = make_optimizer(dec, cfg)
     state = TrainState(params, tx.init(params), jnp.asarray(0))
@@ -43,7 +75,7 @@ def main():
     def run(state, key):
         def body(i, st):
             k = jax.random.fold_in(key, i)
-            z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+            z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
             st, m, _ = step(st, k, z, st.step)
             return st
         return jax.lax.fori_loop(0, ITERS, body, state)
@@ -65,7 +97,7 @@ def stage_ablate():
     from gaussian_gan_decoder_tpu.splat.rasterize import render_simple
     from gaussian_gan_decoder_tpu.losses import lpips_loss
 
-    gen = flagship_generator()
+    gen = _generator()
     dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
                           use_gen_finetune=True)
     gp = gen.init(jax.random.PRNGKey(1))
@@ -75,10 +107,19 @@ def stage_ablate():
     tcfg = TargetSamplerConfig(
         bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
         pallas_probe_build=bool(os.environ.get("DS_PALLAS_BUILD")),
+        **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
+           if SMOKE else {}),
     )
-    rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 21, tile_capacity=1024,
-                           chunk=64, static_copies=2, overflow_budget=2 ** 16)
-    cfg = DistillConfig(raster_backend="pallas_diff")
+    if SMOKE:
+        rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 12,
+                               tile_capacity=64, chunk=32, static_copies=2,
+                               overflow_budget=2 ** 10)
+    else:
+        rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 21,
+                               tile_capacity=1024, chunk=64, static_copies=2,
+                               overflow_budget=2 ** 16)
+    cfg = DistillConfig(raster_backend="pallas_diff",
+                        **({"image_size": 64} if SMOKE else {}))
 
     def timed(name, fn):
         def stream(key):
@@ -95,13 +136,13 @@ def stage_ablate():
         marching_tetrahedra_sample, sigma_grid)
 
     def f_gan(k, i):
-        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
         t = sample_target(k, gen, gp, z, iteration=i, cfg=tcfg, only_gan=True)
         return jnp.sum(t.img[:, :, ::257, ::257])
     timed("frozen-G 512^2 render", f_gan)
 
     def f_sigma(k, i):
-        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
         ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
         planes = gen.synthesis_planes(gp, ws, noise_mode="const")
         table = gen.build_sampling_table(
@@ -114,7 +155,7 @@ def stage_ablate():
     timed("planes + sigma grid", f_sigma)
 
     def f_tetra(k, i):
-        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
         ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
         planes = gen.synthesis_planes(gp, ws, noise_mode="const")
         table = gen.build_sampling_table(
@@ -131,13 +172,13 @@ def stage_ablate():
     timed("+ marching tetrahedra", f_tetra)
 
     def f_target(k, i):
-        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
         t = sample_target(k, gen, gp, z, iteration=i, cfg=tcfg)
         return jnp.sum(t.vertices[:8]) + jnp.sum(t.img[:, :, ::257, ::257])
     timed("target pipeline (no-grad)", f_target)
 
     def f_decode(k, i):
-        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
         t = sample_target(k, gen, gp, z, iteration=i, cfg=tcfg)
         d = dec.apply(params, t.z, t.gan_camera_params, t.vertices,
                       truncation_psi=t.truncation)
@@ -145,12 +186,12 @@ def stage_ablate():
     timed("+ decode fwd (XLA heads)", f_decode)
 
     def f_loss(k, i):
-        z = jax.random.normal(jax.random.fold_in(k, 1), (1, 512))
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
         t = sample_target(k, gen, gp, z, iteration=i, cfg=tcfg)
         d = dec.apply(params, t.z, t.gan_camera_params, t.vertices,
                       truncation_psi=t.truncation)
         fov = t.fov_deg / 360.0 * 2 * jnp.pi
-        cam = make_camera(512, fov, t.cam2world_pose[0])
+        cam = make_camera(64 if SMOKE else 512, fov, t.cam2world_pose[0])
         out = render_simple(cam, d, bg=jnp.zeros((3,)), config=rcfg,
                             backend="pallas_diff")
         img = out["render"][:3]
