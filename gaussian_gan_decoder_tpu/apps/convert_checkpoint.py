@@ -36,20 +36,20 @@ def build_argparser():
     return p
 
 
-def _detect_kind(path: str) -> str:
-    from ..port.torch_pickle import load_reference_pickle
-
-    data = load_reference_pickle(path)
+def _detect_kind(data) -> str:
+    """Kind from the top-level snapshot keys of an already-loaded pickle
+    (GAN generators themselves contain a 'decoder' SUBMODULE, so byte
+    sniffing would misclassify — inspect the real dict)."""
     if isinstance(data, dict) and "decoder" in data:
         return "decoder"
     return "gan"
 
 
-def convert_gan(path: str, out: str) -> dict:
+def convert_gan(path_or_data, out: str) -> dict:
     from ..port.torch_pickle import load_gan_snapshot_pkl
     from ..train import checkpoint
 
-    snap = load_gan_snapshot_pkl(path)
+    snap = load_gan_snapshot_pkl(path_or_data)
     os.makedirs(out, exist_ok=True)
     configs = {"G": snap["G"]}
     if snap["D"] is not None:
@@ -84,11 +84,11 @@ def load_native_gan(out: str):
     return configs["G"], tree
 
 
-def convert_decoder(path: str, out: str) -> dict:
+def convert_decoder(path_or_data, out: str) -> dict:
     from ..decoder.snapshot import save_decoder
     from ..port.torch_pickle import load_decoder_pkl
 
-    cfg, params = load_decoder_pkl(path)
+    cfg, params = load_decoder_pkl(path_or_data)
     save_decoder(out, cfg, params)
     return {"kind": "decoder", "out": out}
 
@@ -99,11 +99,14 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    kind = args.kind if args.kind != "auto" else _detect_kind(args.input)
+    from ..port.torch_pickle import load_reference_pickle
+
+    data = load_reference_pickle(args.input)  # ONE unpickle, reused below
+    kind = args.kind if args.kind != "auto" else _detect_kind(data)
     if kind == "gan":
-        info = convert_gan(args.input, args.out)
+        info = convert_gan(data, args.out)
     else:
-        info = convert_decoder(args.input, args.out)
+        info = convert_decoder(data, args.out)
     print(json.dumps(info))
 
 

@@ -53,4 +53,5 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    rs = main()
+    sys.exit(0 if all(r["returncode"] in (0, None) for r in rs) else 1)

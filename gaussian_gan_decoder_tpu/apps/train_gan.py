@@ -78,8 +78,15 @@ def _resume(path, state):
                 f"{what} param tree from {path} does not match the CLI "
                 f"config — build G/D with the snapshot's shapes"
             )
-            return jax.tree.map(lambda o, t: jnp.asarray(t, o.dtype),
-                                ours, theirs)
+
+            def leaf(o, t):
+                assert o.shape == t.shape, (
+                    f"{what} leaf shape {t.shape} from {path} != model "
+                    f"shape {o.shape} — build G/D with the snapshot's shapes"
+                )
+                return jnp.asarray(t, o.dtype)
+
+            return jax.tree.map(leaf, ours, theirs)
 
         state = state._replace(
             g_params=_take(state.g_params, snap["g_params"], "G"),

@@ -30,8 +30,6 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import scipy.signal
-import scipy.special
 
 from ..ops import filtered_lrelu, modulated_conv2d
 from .stylegan2 import FullyConnectedLayer, MappingNetwork, Params
@@ -40,6 +38,10 @@ from .stylegan2 import FullyConnectedLayer, MappingNetwork, Params
 def design_lowpass_filter(numtaps: int, cutoff: float, width: float, fs: float,
                           radial: bool = False) -> Optional[np.ndarray]:
     """Kaiser-windowed sinc (ref networks_stylegan3.py:41-64)."""
+    # deferred: keeps scipy off the import path of every models/ consumer
+    import scipy.signal
+    import scipy.special
+
     if numtaps == 1:
         return None
     if not radial:

@@ -259,7 +259,9 @@ def load_decoder_pkl(path_or_file, key: str = "decoder"):
     module is embedded."""
     from ..decoder.heads import GaussianDecoder
 
-    data = load_reference_pickle(path_or_file)
+    data = (path_or_file
+            if isinstance(path_or_file, (dict, PersistentStub))
+            else load_reference_pickle(path_or_file))
     d = data[key] if isinstance(data, dict) else data
     assert isinstance(d, PersistentStub), type(d)
     g_stub = (d.state.get("_modules") or {}).get("G")
@@ -340,8 +342,13 @@ def discriminator_params_from_state(flat: Dict[str, np.ndarray]) -> Dict:
 
 def load_gan_snapshot_pkl(path_or_file):
     """Reference GAN training snapshot -> dict with ported configs/params:
-    {'G': cfg, 'g_params', 'g_ema', 'D': cfg (or None), 'd_params'}."""
-    data = load_reference_pickle(path_or_file)
+    {'G': cfg, 'g_params', 'g_ema', 'D': cfg (or None), 'd_params'}.
+
+    Accepts a path, a file-like, or an ALREADY-LOADED snapshot dict (so
+    callers that inspected the pickle don't pay a second full unpickle).
+    """
+    data = (path_or_file if isinstance(path_or_file, dict)
+            else load_reference_pickle(path_or_file))
     assert isinstance(data, dict), type(data)
     out: Dict[str, Any] = {}
     g = data.get("G") or data.get("G_ema")

@@ -49,10 +49,15 @@ def _config_from_json(data):
 
         cls = getattr(importlib.import_module(module), qual)
         fields = {k: _config_from_json(v) for k, v in data["fields"].items()}
-        # tuples-of-tuples survive json as lists; dataclasses here use tuples
-        for k, v in fields.items():
-            if isinstance(v, list):
-                fields[k] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        # tuples survive json as lists; dataclass fields here use tuples at
+        # EVERY nesting level (e.g. rendering_kwargs carries list values
+        # like avg_camera_pivot) — convert deeply or the config is
+        # unhashable and != the pickle-ported original
+        def _deep_tuple(v):
+            return tuple(_deep_tuple(x) for x in v) if isinstance(v, list) else v
+
+        fields = {k: _deep_tuple(v) if isinstance(v, list) else v
+                  for k, v in fields.items()}
         return cls(**fields)
     if isinstance(data, list):
         return [_config_from_json(x) for x in data]

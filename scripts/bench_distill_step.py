@@ -14,8 +14,14 @@ from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig
 from gaussian_gan_decoder_tpu.train.distill import (
     DistillConfig, TrainState, make_optimizer, make_train_step)
 
+def _env_flag(name: str) -> bool:
+    """'', '0', 'false' (any case) and unset are OFF — DS_X=0 must not
+    silently enable X (bool("0") is True)."""
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
+
+
 ITERS = int(os.environ.get("DS_ITERS", 3))
-SMOKE = bool(os.environ.get("DS_SMOKE"))
+SMOKE = _env_flag("DS_SMOKE")
 if SMOKE:
     # smoke = plumbing validation; never claim the chip for it
     jax.config.update("jax_platforms", "cpu")
@@ -25,7 +31,7 @@ def _generator():
     """Flagship by default; DS_SMOKE=1 swaps in a tiny CPU-runnable config
     so the whole script's plumbing (all DS_* knob combinations) can be
     validated without the chip."""
-    if os.environ.get("DS_SMOKE"):
+    if SMOKE:
         from gaussian_gan_decoder_tpu.models.triplane import TriPlaneGenerator
 
         return TriPlaneGenerator(
@@ -43,7 +49,7 @@ def main():
     gen = _generator()
     dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
                           use_gen_finetune=True,
-                          pallas_heads_train=bool(os.environ.get("DS_PALLAS_HEADS")),
+                          pallas_heads_train=_env_flag("DS_PALLAS_HEADS"),
                           bf16_sampling=bool(os.environ.get("DS_BF16_SAMPLING")))
     gp = gen.init(jax.random.PRNGKey(1))
     params = dec.init(jax.random.PRNGKey(0), generator_params=gp)
@@ -55,7 +61,7 @@ def main():
                         **({"image_size": 64} if SMOKE else {}))
     tcfg = TargetSamplerConfig(
         bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
-        pallas_probe_build=bool(os.environ.get("DS_PALLAS_BUILD")),
+        pallas_probe_build=_env_flag("DS_PALLAS_BUILD"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )
@@ -106,7 +112,7 @@ def stage_ablate():
     vggp = vgg.init(jax.random.PRNGKey(2))
     tcfg = TargetSamplerConfig(
         bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
-        pallas_probe_build=bool(os.environ.get("DS_PALLAS_BUILD")),
+        pallas_probe_build=_env_flag("DS_PALLAS_BUILD"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )

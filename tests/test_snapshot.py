@@ -40,3 +40,24 @@ def test_npz_export_roundtrip(tmp_path):
     flat = checkpoint.load_npz(p)
     np.testing.assert_array_equal(flat["a/b"], np.arange(4.0))
     np.testing.assert_array_equal(flat["c"], np.ones((2, 2)))
+
+
+def test_config_json_roundtrip_deep_tuples():
+    """List-valued rendering kwargs (avg_camera_pivot in every shipped
+    checkpoint) must come back as nested TUPLES — hashable and == the
+    original — through the config JSON used by snapshots and
+    convert_checkpoint."""
+    import json
+
+    from gaussian_gan_decoder_tpu.models.triplane import TriPlaneGenerator
+    from gaussian_gan_decoder_tpu.train import checkpoint
+
+    cfg = TriPlaneGenerator(
+        z_dim=64, c_dim=25, w_dim=128, img_resolution=128,
+        rendering_kwargs=(("avg_camera_pivot", (0.0, 0.0, 0.2)),
+                          ("triplane_depth", 3)),
+    )
+    j = json.loads(json.dumps(checkpoint._config_to_json(cfg)))
+    back = checkpoint._config_from_json(j)
+    assert back == cfg
+    hash(back)
