@@ -46,3 +46,39 @@ def test_sharded_sigma_grid_matches():
     ref = sigma_grid(gen, gp, planes, shape_res=16, chunk=2 ** 10)
     shd = sigma_grid_sharded(mesh, gen, gp, planes, shape_res=16)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(shd), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual multi-device")
+def test_render_latency_sharded_matches_single_device():
+    """Full sharded frame (decode sharded over points, raster tail
+    replicated) == flagship.decode_and_render(backend='pallas')."""
+    from gaussian_gan_decoder_tpu.flagship import (
+        decode_and_render, default_camera_params, flagship_decoder)
+    from gaussian_gan_decoder_tpu.parallel import render_latency_sharded
+    from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig
+
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev, ("points",))
+    gen = tiny_generator("panohead")
+    dec = flagship_decoder(gen=gen)  # fused kernel path (hidden 128)
+    params = dec.init(jax.random.PRNGKey(0),
+                      generator_params=gen.init(jax.random.PRNGKey(1)))
+    cp, c2w = default_camera_params()
+    m = 80 * n_dev
+    pts = (jax.random.uniform(jax.random.PRNGKey(2), (m, 3)) - 0.5) * 0.4
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, gen.z_dim))
+    rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 12, tile_capacity=64,
+                           chunk=32, static_copies=2, overflow_budget=2 ** 10,
+                           packed_payloads=True)
+    fov = jnp.asarray(0.227)
+
+    ref, _ = decode_and_render(dec, params, z, cp, c2w, pts, fov,
+                               image_size=64, raster_cfg=rcfg,
+                               backend="pallas")
+    img = render_latency_sharded(mesh, dec, params, z, cp, c2w, pts, fov,
+                                 image_size=64, raster_cfg=rcfg)
+    a, b = np.asarray(ref), np.asarray(img)
+    assert b.shape == (3, 64, 64)
+    mse = ((a - b) ** 2).mean()
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-14))
+    assert psnr > 60.0, psnr
