@@ -51,15 +51,25 @@ def render_latency_sharded(
     raster_cfg: Optional[RasterizeConfig] = None,
     truncation_psi: float = 1.0,
     axis: str = "points",
+    shard_blend: bool = True,
 ):
     """One 512^2 frame with the point axis sharded over `axis`.
 
-    -> (3, H, W) image (replicated). Wrap in jit for the fused program;
-    bit-identical to flagship.decode_and_render(backend='pallas') up to
-    all_gather block concatenation order (none — per-point math is
-    independent and binning sorts by tile/depth)."""
+    -> (3, H, W) image. Wrap in jit for the fused program; bit-identical
+    to flagship.decode_and_render(backend='pallas') up to all_gather
+    block concatenation order (none — per-point math is independent and
+    binning sorts by tile/depth).
+
+    shard_blend additionally runs the per-tile alpha blend sharded over
+    the image's tile ROWS (each chip blends its slice of tiles from the
+    replicated sorted pair list and emits its image rows)."""
     assert decoder.pallas_heads, "sharded latency path uses the fused kernel"
-    from ..splat.fast_raster import render_rows
+    from ..decoder.pallas_heads import PROJ_ROWS
+    from ..splat.fast_raster import (
+        _blend_and_assemble,
+        bin_pairs_lexsort_ch,
+        render_rows,
+    )
 
     n_dev = mesh.shape[axis]
     M = init_position.shape[0]
@@ -90,6 +100,43 @@ def render_latency_sharded(
         check_vma=False,
     )(params, planes, init_position)
 
-    out = render_rows(cam, rows, layout_box, rows.shape[1], bg=bgv,
-                      config=raster_cfg)
-    return out["render"][:3]
+    ts = raster_cfg.tile_size
+    grid_x, grid_y = cam.image_width // ts, cam.image_height // ts
+    if not shard_blend or grid_y % n_dev != 0:
+        out = render_rows(cam, rows, layout_box, rows.shape[1], bg=bgv,
+                          config=raster_cfg)
+        return out["render"][:3]
+
+    # replicated binning (ONE lexsort carrying the blend payloads), then
+    # tile-row-sharded blend: render_rows' tail, split at the bin/blend
+    # boundary (splat/fast_raster.py:578-586)
+    r = {k: rows[v] for k, v in PROJ_ROWS.items()}
+    ch = dict(px=r["px"], py=r["py"], depth=r["depth"],
+              radius_f=r["radius_f"], visible=r["visible"] > 0.5)
+    fields = [r["px"], r["py"], r["conic_a"], r["conic_b"], r["conic_c"],
+              r["opac"], r["col_r"], r["col_g"], r["col_b"]]
+    ch, fields = jax.lax.optimization_barrier((ch, fields))
+    tile_starts, attrs_t, _ = bin_pairs_lexsort_ch(
+        ch, fields, grid_x, grid_y, ts,
+        raster_cfg.static_copies, raster_cfg.overflow_budget,
+        bf16_colors=raster_cfg.bf16_colors,
+        packed_payloads=raster_cfg.packed_payloads,
+        fused_sort_key=raster_cfg.fused_sort_key,
+    )
+    gy_local = grid_y // n_dev
+
+    def blend_local(starts_full, attrs_full):
+        row0 = jax.lax.axis_index(axis) * gy_local * grid_x
+        starts_l = jax.lax.dynamic_slice(
+            starts_full, (row0,), (gy_local * grid_x + 1,))
+        img_l, _ = _blend_and_assemble(
+            starts_l, attrs_full, grid_x, gy_local, ts, bgv, raster_cfg)
+        return img_l                 # (H/n_dev, W, 3)
+
+    img = jax.shard_map(
+        blend_local, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )(tile_starts, attrs_t)
+    return jnp.transpose(img, (2, 0, 1))

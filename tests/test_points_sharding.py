@@ -49,9 +49,10 @@ def test_sharded_sigma_grid_matches():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual multi-device")
-def test_render_latency_sharded_matches_single_device():
-    """Full sharded frame (decode sharded over points, raster tail
-    replicated) == flagship.decode_and_render(backend='pallas')."""
+@pytest.mark.parametrize("shard_blend", [False, True])
+def test_render_latency_sharded_matches_single_device(shard_blend):
+    """Full sharded frame (decode sharded over points; blend optionally
+    sharded over tile rows) == flagship.decode_and_render('pallas')."""
     from gaussian_gan_decoder_tpu.flagship import (
         decode_and_render, default_camera_params, flagship_decoder)
     from gaussian_gan_decoder_tpu.parallel import render_latency_sharded
@@ -76,7 +77,8 @@ def test_render_latency_sharded_matches_single_device():
                                image_size=64, raster_cfg=rcfg,
                                backend="pallas")
     img = render_latency_sharded(mesh, dec, params, z, cp, c2w, pts, fov,
-                                 image_size=64, raster_cfg=rcfg)
+                                 image_size=64, raster_cfg=rcfg,
+                                 shard_blend=shard_blend)
     a, b = np.asarray(ref), np.asarray(img)
     assert b.shape == (3, 64, 64)
     mse = ((a - b) ** 2).mean()
