@@ -36,6 +36,12 @@ def main():
     from gaussian_gan_decoder_tpu.flagship import flagship_generator
 
     dec = flagship_decoder(gen=flagship_generator(variant=variant))
+    if os.environ.get("BENCH_BRICK_SELECT"):
+        # channel-duplicated brick-build source: masked-select stores
+        # instead of lane rotations (sweep knob; PERFORMANCE.md roadmap)
+        import dataclasses as _dcs
+
+        dec = _dcs.replace(dec, pallas_sampling="select")
     params = dec.init(
         jax.random.PRNGKey(0),
         generator_params=dec.generator.init(jax.random.PRNGKey(1)),

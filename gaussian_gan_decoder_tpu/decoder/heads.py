@@ -111,7 +111,9 @@ class GaussianDecoder:
     # max dev, no transcendentals — the exact erf costs 5.5 ms/frame in the
     # fused chain) | 'tanh' (jax.nn.gelu default approximation)
     heads_bf16: bool = False      # bf16 matmuls inside the fused heads
-    pallas_sampling: bool = False  # Pallas streaming brick-table build
+    pallas_sampling: bool = False  # Pallas streaming brick-table build;
+    # 'select' = channel-duplicated source variant (lane-aligned masked-
+    # select stores instead of 8 lane rotations)
 
     @property
     def _brick_dtype(self):
@@ -170,7 +172,7 @@ class GaussianDecoder:
             g.renderer.plane_axes, planes, init_position[None],
             box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
             brick_dtype=self._brick_dtype,
-            pallas_build=self.pallas_sampling and g.triplane_depth > 1,
+            pallas_build=self.pallas_sampling if g.triplane_depth > 1 else False,
         )[0]  # (n_planes, M, 32)
 
         heads = self._heads()
@@ -271,7 +273,7 @@ class GaussianDecoder:
             g.renderer.plane_axes, planes, init_position[None],
             box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
             brick_dtype=self._brick_dtype,
-            pallas_build=self.pallas_sampling and g.triplane_depth > 1,
+            pallas_build=self.pallas_sampling if g.triplane_depth > 1 else False,
         )[0]
         cond = self.embedder(init_position) if self.use_xyz_embedding else init_position
         return decode_heads_pallas(
@@ -301,7 +303,7 @@ class GaussianDecoder:
             g.renderer.plane_axes, planes, init_position[None],
             box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
             brick_dtype=self._brick_dtype,
-            pallas_build=self.pallas_sampling and g.triplane_depth > 1,
+            pallas_build=self.pallas_sampling if g.triplane_depth > 1 else False,
         )[0]
         cond = self.embedder(init_position) if self.use_xyz_embedding else init_position
         return decode_project_pallas(

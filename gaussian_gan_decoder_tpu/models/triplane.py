@@ -422,7 +422,7 @@ class TriPlaneGenerator:
 
         return build_plane_table(
             planes, self.triplane_depth, brick_dtype=brick_dtype,
-            pallas_build=pallas_build and self.triplane_depth > 1,
+            pallas_build=pallas_build if self.triplane_depth > 1 else False,
         )
 
     def sample_mixed(self, params, coordinates, directions, ws, noise_mode="const"):

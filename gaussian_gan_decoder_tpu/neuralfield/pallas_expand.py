@@ -35,9 +35,8 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _expand_kernel(fp_hbm, out_ref, win, sem, *, C: int, W: int, D: int,
-                   nz: int, nyb: int):
-    # grid: (B, D+1, NY//YB); out block (1, YB, W+1, 8C) at row b*(D+1)+z.
+def _dma_pipeline(fp_hbm, win, sem, *, nz: int, nyb: int):
+    # grid: (B, D+1, NY//YB); out block row b*(D+1)+z.
     # The window DMA for program i+1 is started while program i computes
     # (double-buffered on grid-step parity) — a synchronous start/wait per
     # program exposes ~200 full DMA latencies (~5 ms/frame at flagship).
@@ -67,6 +66,14 @@ def _expand_kernel(fp_hbm, out_ref, win, sem, *, C: int, W: int, D: int,
         dma((step + 1) % 2, step + 1).start()
 
     dma(slot, step).wait()
+    return slot
+
+
+def _expand_kernel(fp_hbm, out_ref, win, sem, *, C: int, W: int, D: int,
+                   nz: int, nyb: int):
+    # 8 sub-tile stores: write lanes g*C:(g+1)*C from source lanes 0:C —
+    # each store is a lane ROTATION (C=32 is not tile-aligned).
+    slot = _dma_pipeline(fp_hbm, win, sem, nz=nz, nyb=nyb)
 
     for dz in (0, 1):
         for dy in (0, 1):
@@ -77,32 +84,66 @@ def _expand_kernel(fp_hbm, out_ref, win, sem, *, C: int, W: int, D: int,
                 )
 
 
-def build_brick_table(feats: jax.Array, dtype=None, interpret: bool | None = None):
+def _expand_kernel_select(fp_hbm, out_ref, win, sem, *, C: int, W: int,
+                          D: int, nz: int, nyb: int):
+    # Channel-DUPLICATED source (each 128-lane row = LANE//C copies of the
+    # C channels): corner group g reads its channels at the SAME lanes it
+    # writes, so the 8 rotated sub-tile stores become lane-group masked
+    # selects combined into ONE aligned full-tile store per 128 lanes.
+    slot = _dma_pipeline(fp_hbm, win, sem, nz=nz, nyb=nyb)
+
+    gpt = LANE // C            # corner groups per 128-lane output tile
+    lane_grp = jax.lax.broadcasted_iota(
+        jnp.int32, (YB, W + 1, LANE), 2) // C
+    for t in range(8 * C // LANE):
+        acc = None
+        for j in range(gpt):
+            g = t * gpt + j
+            dz, dy, dx = g >> 2, (g >> 1) & 1, g & 1
+            v = win[slot, dz, dy:dy + YB, dx:dx + W + 1, :]
+            acc = v if acc is None else jnp.where(lane_grp == j, v, acc)
+        out_ref[0, :, :, t * LANE:(t + 1) * LANE] = acc
+
+
+def build_brick_table(feats: jax.Array, dtype=None, interpret: bool | None = None,
+                      select: bool = False):
     """(B, C, D, H, W) volume -> (table (B, (D+1)*NY*(W+1), 8C), NY).
 
     Row index of logical brick (z0, y0, x0) is (z0 * NY + y0) * (W + 1) + x0
     with NY = round_up(H + 1, YB). Rows with y0 > H exist but hold garbage
     (never indexed: y0 <= H by construction of the sampler).
+
+    select=True uses the channel-duplicated-source kernel (lane-aligned
+    masked-select stores instead of 8 lane rotations; same HBM bytes — the
+    zero lane padding becomes duplicate channels). Requires C | 128 and
+    128 | 8C; falls back to the rotate kernel otherwise.
     """
     B, C, D, H, W = feats.shape
     if dtype is not None:
         feats = feats.astype(dtype)
     if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret
         interpret = jax.default_backend() == "cpu"
+    select = select and LANE % C == 0 and (8 * C) % LANE == 0
     NY = _round_up(H + 1, YB)
     NX = _round_up(W + 2, 8)
     # channels-last; pad: z 1+1, y 1 + (NY+8-1-H) [DMA windows read YB+8
     # rows], x 1 + (NX-W-1), c to full 128 lanes
     fcl = jnp.transpose(feats, (0, 2, 3, 4, 1))           # (B, D, H, W, C)
+    if select:
+        fcl = jnp.tile(fcl, (1, 1, 1, 1, LANE // C))
+        cpad = 0
+    else:
+        cpad = LANE - C
     fp = jnp.pad(
         fcl,
-        ((0, 0), (1, 1), (1, NY + 8 - 1 - H), (1, NX - W - 1), (0, LANE - C)),
+        ((0, 0), (1, 1), (1, NY + 8 - 1 - H), (1, NX - W - 1), (0, cpad)),
     )
     # fp: (B, D+2, NY+8, NX, 128)
 
     out = pl.pallas_call(
-        functools.partial(_expand_kernel, C=C, W=W, D=D,
-                          nz=D + 1, nyb=NY // YB),
+        functools.partial(
+            _expand_kernel_select if select else _expand_kernel,
+            C=C, W=W, D=D, nz=D + 1, nyb=NY // YB),
         grid=(B, D + 1, NY // YB),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(

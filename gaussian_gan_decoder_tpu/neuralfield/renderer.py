@@ -96,7 +96,8 @@ def build_plane_table(
         feats = plane_features.reshape(N * n_planes, C, H, W)
         return _bilinear_table(feats)
     feats = plane_features.reshape(N * n_planes, C, D, H, W)
-    e, NY = _trilinear_table(feats, pallas_build and triplane_depth > 1)
+    e, NY = _trilinear_table(
+        feats, pallas_build if triplane_depth > 1 else False)
     return (e, NY)
 
 
@@ -212,13 +213,17 @@ def _bilinear_sample_table(table, C, H, W, grid):
     return jax.vmap(combine)(rows, *wargs)
 
 
-def _trilinear_table(feats, pallas_build: bool = False):
-    """feats (B, C, D, H, W) -> (e, NY) corner-brick table."""
+def _trilinear_table(feats, pallas_build=False):
+    """feats (B, C, D, H, W) -> (e, NY) corner-brick table.
+
+    pallas_build: False (XLA 8-slice concat) | True (Pallas streaming
+    build) | 'select' (Pallas build with the channel-duplicated source:
+    lane-aligned masked-select stores instead of lane rotations)."""
     B, C, D, H, W = feats.shape
     if pallas_build:
         from .pallas_expand import build_brick_table
 
-        e, NY = build_brick_table(feats)
+        e, NY = build_brick_table(feats, select=pallas_build == "select")
     else:
         # transpose the UNPADDED volume (smaller + better-shaped), pad after
         fcl = jnp.transpose(feats, (0, 2, 3, 4, 1))   # (B, D, H, W, C)

@@ -20,6 +20,13 @@ def _env_flag(name: str) -> bool:
     return os.environ.get(name, "").strip().lower() not in ("", "0", "false", "no")
 
 
+def _build_mode(name: str):
+    """Pallas-build knobs additionally accept 'select' (channel-duplicated
+    source kernel variant)."""
+    v = os.environ.get(name, "").strip().lower()
+    return "select" if v == "select" else v not in ("", "0", "false", "no")
+
+
 ITERS = int(os.environ.get("DS_ITERS", 3))
 SMOKE = _env_flag("DS_SMOKE")
 if SMOKE:
@@ -61,7 +68,7 @@ def main():
                         **({"image_size": 64} if SMOKE else {}))
     tcfg = TargetSamplerConfig(
         bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
-        pallas_probe_build=_env_flag("DS_PALLAS_BUILD"),
+        pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )
@@ -112,7 +119,7 @@ def stage_ablate():
     vggp = vgg.init(jax.random.PRNGKey(2))
     tcfg = TargetSamplerConfig(
         bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
-        pallas_probe_build=_env_flag("DS_PALLAS_BUILD"),
+        pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )

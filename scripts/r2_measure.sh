@@ -20,6 +20,9 @@ BENCH_COPIES=1 BENCH_OVERFLOW=$((2**20)) timeout 1500 $PY bench.py 2>>"$OUT" | t
 log "bench fused uint32 sort key"
 BENCH_FUSED_KEY=1 timeout 1500 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 
+log "bench masked-select brick build (channel-duplicated source)"
+BENCH_BRICK_SELECT=1 timeout 1500 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
 log "profile_ablate (packed path)"
 PROF_STAGES=synth,table,table_q,sample,stagein,decode,fields,pairs,bin,bin_all,full \
   timeout 2400 $PY scripts/profile_ablate.py 2>/dev/null | tee -a "$OUT"

@@ -187,6 +187,48 @@ def test_importance_renderer_smoke(rng):
     assert np.all(np.asarray(depth) <= 3.2 + 1e-4)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+@pytest.mark.parametrize("select", [False, True])
+def test_pallas_brick_table_matches_xla(dtype, select):
+    """Pallas brick-table build (rotate AND channel-duplicated masked-
+    select variants, interpret mode on CPU) == the XLA 8-slice concat
+    table on the rows the sampler can index (y0 <= H; padded NY rows
+    beyond hold garbage by design)."""
+    from gaussian_gan_decoder_tpu.neuralfield.pallas_expand import (
+        build_brick_table)
+    from gaussian_gan_decoder_tpu.neuralfield.renderer import (
+        _trilinear_table)
+
+    rng = np.random.RandomState(select + 7)
+    B, C, D, H, W = 3, 32, 3, 16, 16
+    feats = rng.randn(B, C, D, H, W).astype(np.float32)
+    if dtype == "int8":
+        feats = np.clip(np.round(feats * 30), -127, 127).astype(np.int8)
+    else:
+        feats = feats.astype(dtype)
+    fj = jnp.asarray(feats)
+
+    want, _ = _trilinear_table(fj, pallas_build=False)
+    want = want.reshape(B, D + 1, H + 1, W + 1, 8 * C)
+    got, NY = build_brick_table(fj, select=select)
+    got = got.reshape(B, D + 1, NY, W + 1, 8 * C)[:, :, : H + 1]
+    assert got.dtype == fj.dtype
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sample_from_planes_pallas_select_build():
+    """End-to-end: pallas_build='select' sampling == default-path sampling."""
+    rng = np.random.RandomState(3)
+    planes = jnp.asarray(rng.randn(1, 3, 32 * 3, 16, 16).astype(np.float32))
+    coords = jnp.asarray(((rng.rand(1, 200, 3) - 0.5) * 1.1).astype(np.float32))
+    axes = generate_planes("panohead")
+    ref = sample_from_planes(axes, planes, coords, box_warp=1.0, triplane_depth=3)
+    got = sample_from_planes(axes, planes, coords, box_warp=1.0,
+                             triplane_depth=3, pallas_build="select")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_int8_brick_sampling_error_budget():
     """int8 tri-grid bricks (flagship fast path) stay within ~2^-7
     relative feature error of the f32 path."""
