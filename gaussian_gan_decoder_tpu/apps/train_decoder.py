@@ -99,6 +99,12 @@ def build_argparser():
                    help="bf16 brick tables for the frozen-G probe path "
                         "(target render + sigma grid): halves probe gather "
                         "bytes at ~2^-8 relative feature error")
+    p.add_argument("--int8_probe", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="int8 brick tables (per plane/channel scales) for "
+                        "the frozen-G probe path: 256B rows gather ~1.7x "
+                        "faster than bf16 at ~2^-7 relative feature error; "
+                        "overrides --bf16_probe")
     p.add_argument("--bf16_lpips", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="VGG16-LPIPS feature convs in bf16 (distance stays "
@@ -203,6 +209,7 @@ def main(argv=None):
         shape_res=args.shape_res, num_points=args.num_points,
         mc_level=args.mc_level,
         bf16_probe=args.bf16_probe,
+        int8_probe=args.int8_probe,
         pallas_probe_build=args.pallas_probe_build,
         sigma_chunk=min(2 ** 18, args.shape_res ** 3),
         face_capacity=min(2 ** 20, 12 * (args.shape_res - 1) ** 3),

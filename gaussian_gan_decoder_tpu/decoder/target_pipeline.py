@@ -39,6 +39,11 @@ class TargetSamplerConfig:
     use_marching_cubes: bool = True
     bf16_probe: bool = False       # bf16 brick table for the FROZEN target
     # probes (~2^-8 feature err on a no-grad target; big speed win)
+    int8_probe: bool = False       # int8 brick table for the frozen-target
+    # probes (render passes + sigma grid share it): 256B rows gather
+    # ~1.7x faster than bf16 512B rows at ~2^-7 relative feature error —
+    # the probes gather ~8.7M table rows/step (2 render passes + 128^3
+    # sigma grid), the dominant target-pipeline cost. Wins over bf16_probe.
     pallas_probe_build: bool = False  # Pallas table build (TPU; tri-grid)
     surface_thickness: float = 0.1
     shape_res: int = 128
@@ -106,10 +111,10 @@ def sample_target(
     planes = generator.synthesis_planes(gen_params, ws, noise_mode="const")
     # ONE brick table for the render probes (coarse+importance) AND the
     # sigma grid below — all probe the same frozen planes
+    probe_dtype = (jnp.int8 if cfg.int8_probe
+                   else jnp.bfloat16 if cfg.bf16_probe else None)
     table = generator.build_sampling_table(
-        planes,
-        brick_dtype=jnp.bfloat16 if cfg.bf16_probe else None,
-        pallas_build=cfg.pallas_probe_build,
+        planes, brick_dtype=probe_dtype, pallas_build=cfg.pallas_probe_build,
     )
     table = jax.lax.stop_gradient(table)
     if only_surface:

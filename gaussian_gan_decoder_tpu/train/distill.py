@@ -116,6 +116,12 @@ def make_loss_fn(
     """losses_and_metrics(params, key, z, iteration) -> (loss, (metrics, aux))."""
     gen = decoder.generator
     bg = jnp.asarray(cfg.bg_color, jnp.float32)
+    # int8 brick quantization uses round() (zero gradient): the generator
+    # fine-tune would silently receive no plane gradients. int8 is an
+    # inference knob (flagship) / frozen-probe knob (int8_probe), never a
+    # trainable-branch one.
+    assert not (decoder.use_gen_finetune and decoder.int8_sampling), (
+        "int8_sampling zeroes plane gradients; disable it or use_gen_finetune")
 
     def losses_and_metrics(params, key, z, iteration):
         k_target, k_misc = jax.random.split(key)
@@ -124,10 +130,22 @@ def make_loss_fn(
             iteration=iteration, cfg=target_cfg,
         )
 
-        decoded = decoder.apply(
-            params, target.z, target.gan_camera_params, target.vertices,
-            truncation_psi=target.truncation,
-        )
+        if not decoder.use_gen_finetune and decoder.decoder_type != "sequential":
+            # the fine-tune copy's params are frozen (masked optimizer) and
+            # identical to the frozen generator's, and the zero-camera
+            # mapping convention matches the target pipeline's — so the
+            # decode branch can REUSE the target's feature planes instead
+            # of re-running mapping+synthesis on an identical network.
+            # Removes a whole backbone forward AND its (masked-away)
+            # backward from the step. 'sequential' (D4) maps with the REAL
+            # camera (ref sequential_decoder.py:39), so its planes differ.
+            decoded = decoder.decode_from_planes(
+                params, target.feature_planes, target.vertices)
+        else:
+            decoded = decoder.apply(
+                params, target.z, target.gan_camera_params, target.vertices,
+                truncation_psi=target.truncation,
+            )
 
         fov = target.fov_deg / 360.0 * 2 * jnp.pi
         cam = make_camera(cfg.image_size, fov, target.cam2world_pose[0])

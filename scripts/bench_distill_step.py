@@ -68,6 +68,7 @@ def main():
                         **({"image_size": 64} if SMOKE else {}))
     tcfg = TargetSamplerConfig(
         bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
+        int8_probe=_env_flag("DS_INT8_PROBE"),
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
@@ -119,6 +120,7 @@ def stage_ablate():
     vggp = vgg.init(jax.random.PRNGKey(2))
     tcfg = TargetSamplerConfig(
         bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
+        int8_probe=_env_flag("DS_INT8_PROBE"),
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
@@ -160,7 +162,8 @@ def stage_ablate():
         planes = gen.synthesis_planes(gp, ws, noise_mode="const")
         table = gen.build_sampling_table(
             planes,
-            brick_dtype=jnp.bfloat16 if tcfg.bf16_probe else None,
+            brick_dtype=(jnp.int8 if tcfg.int8_probe
+                         else jnp.bfloat16 if tcfg.bf16_probe else None),
             pallas_build=tcfg.pallas_probe_build)
         sig = sigma_grid(gen, gp, planes, shape_res=tcfg.shape_res,
                          chunk=tcfg.sigma_chunk, table=table)
@@ -173,7 +176,8 @@ def stage_ablate():
         planes = gen.synthesis_planes(gp, ws, noise_mode="const")
         table = gen.build_sampling_table(
             planes,
-            brick_dtype=jnp.bfloat16 if tcfg.bf16_probe else None,
+            brick_dtype=(jnp.int8 if tcfg.int8_probe
+                         else jnp.bfloat16 if tcfg.bf16_probe else None),
             pallas_build=tcfg.pallas_probe_build)
         sig = sigma_grid(gen, gp, planes, shape_res=tcfg.shape_res,
                          chunk=tcfg.sigma_chunk, table=table)

@@ -188,3 +188,105 @@ def test_marching_tetrahedra_face_count_and_thickness():
     # shrinks toward the origin (scale clipped to [0,1])
     assert norms.max() < 0.38
     assert norms.std() > 0.005
+
+
+def test_no_finetune_plane_reuse_equivalence():
+    """train.distill reuses the FROZEN target's feature planes when
+    use_gen_finetune=False (the copy's params never diverge and the
+    zero-camera mapping matches) — assert the reused-planes decode equals
+    decoder.apply exactly, on the same params."""
+    from gaussian_gan_decoder_tpu.decoder.heads import GaussianDecoder
+    from gaussian_gan_decoder_tpu.decoder.target_pipeline import (
+        TargetSamplerConfig, sample_target)
+
+    gen = tiny_generator("panohead")
+    gp = gen.init(jax.random.PRNGKey(0))
+    dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
+                          hidden_dim=16, use_gen_finetune=False)
+    params = dec.init(jax.random.PRNGKey(1), generator_params=gp)
+    tcfg = TargetSamplerConfig(
+        shape_res=16, num_points=128, face_capacity=2 ** 10,
+        sigma_chunk=2 ** 10, neural_rendering_resolution=16, mc_level=0.5)
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, gen.z_dim))
+    t = sample_target(jax.random.PRNGKey(3), gen, gp, z, iteration=20000,
+                      cfg=tcfg)
+    a = dec.apply(params, t.z, t.gan_camera_params, t.vertices,
+                  truncation_psi=t.truncation)
+    b = dec.decode_from_planes(params, t.feature_planes, t.vertices)
+    for k2 in a:
+        np.testing.assert_allclose(np.asarray(a[k2]), np.asarray(b[k2]),
+                                   rtol=1e-12, atol=1e-12, err_msg=k2)
+
+
+def test_distill_step_no_finetune_keeps_G_frozen():
+    """Single-device train step with use_gen_finetune=False: loss finite,
+    head params move, the generator copy's params do NOT (masked Adam +
+    plane-reuse branch)."""
+    from gaussian_gan_decoder_tpu.decoder.heads import GaussianDecoder
+    from gaussian_gan_decoder_tpu.decoder.target_pipeline import TargetSamplerConfig
+    from gaussian_gan_decoder_tpu.losses import VGG16LPIPS
+    from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig
+    from gaussian_gan_decoder_tpu.train.distill import (
+        DistillConfig, init_train_state, make_train_step)
+
+    gen = tiny_generator("panohead")
+    gp = gen.init(jax.random.PRNGKey(0))
+    dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
+                          hidden_dim=16, use_gen_finetune=False)
+    vgg = VGG16LPIPS()
+    vggp = vgg.init(jax.random.PRNGKey(4))
+    cfg = DistillConfig(image_size=16, id_loss_weight=0.0)
+    tcfg = TargetSamplerConfig(
+        shape_res=16, num_points=128, face_capacity=2 ** 10,
+        sigma_chunk=2 ** 10, neural_rendering_resolution=16, mc_level=0.5)
+    rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 11, tile_capacity=64,
+                           chunk=32)
+    state = init_train_state(jax.random.PRNGKey(1), dec, gp, cfg)
+    step = jax.jit(make_train_step(dec, gp, vgg, vggp, None, None,
+                                   cfg, tcfg, rcfg))
+    g0 = np.asarray(jax.tree.leaves(state.params["G"])[0]).copy()
+    h0 = np.asarray(jax.tree.leaves(state.params["color"])[0]).copy()
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, gen.z_dim))
+    state, metrics, _ = step(state, jax.random.PRNGKey(3), z, jnp.asarray(0))
+    assert np.isfinite(float(metrics["Loss/total"]))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(state.params["G"])[0]), g0)
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.params["color"])[0]), h0)
+
+
+def test_int8_probe_sigma_grid_error_budget():
+    """int8 probe tables (target pipeline --int8_probe) keep the sigma
+    grid close to the f32 path — surface extraction at level=10 tolerates
+    ~2^-7 relative feature error."""
+    from gaussian_gan_decoder_tpu.decoder.surface import sigma_grid
+
+    gen = tiny_generator("panohead")
+    gp = gen.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, gen.z_dim))
+    ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
+    planes = gen.synthesis_planes(gp, ws, noise_mode="const")
+    t_f32 = gen.build_sampling_table(planes)
+    t_int8 = gen.build_sampling_table(planes, brick_dtype=jnp.int8)
+    s_ref = np.asarray(sigma_grid(gen, gp, planes, shape_res=16,
+                                  chunk=2 ** 10, table=t_f32))
+    s_q = np.asarray(sigma_grid(gen, gp, planes, shape_res=16,
+                                chunk=2 ** 10, table=t_int8))
+    # sigma passes through softplus-ish heads; compare on the raw values
+    scale = max(np.abs(s_ref).max(), 1.0)
+    assert np.abs(s_q - s_ref).max() <= 0.05 * scale
+
+
+def test_sample_target_int8_probe_smoke():
+    from gaussian_gan_decoder_tpu.decoder.target_pipeline import (
+        TargetSamplerConfig, sample_target)
+
+    gen = tiny_generator("panohead")
+    gp = gen.init(jax.random.PRNGKey(0))
+    tcfg = TargetSamplerConfig(
+        shape_res=16, num_points=128, face_capacity=2 ** 10,
+        sigma_chunk=2 ** 10, neural_rendering_resolution=16, mc_level=0.5,
+        int8_probe=True)
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, gen.z_dim))
+    t = sample_target(jax.random.PRNGKey(3), gen, gp, z, iteration=0, cfg=tcfg)
+    assert np.all(np.isfinite(np.asarray(t.img)))
+    assert np.all(np.isfinite(np.asarray(t.vertices)))
