@@ -99,6 +99,12 @@ def build_argparser():
                    help="bf16 brick tables for the frozen-G probe path "
                         "(target render + sigma grid): halves probe gather "
                         "bytes at ~2^-8 relative feature error")
+    p.add_argument("--reuse_frozen_planes", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="with --no-use_gen_finetune: decode from the frozen "
+                        "target's feature planes (skips re-synthesising on "
+                        "the identical generator copy); disable if resuming "
+                        "a state whose copy diverged")
     p.add_argument("--int8_probe", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="int8 brick tables (per plane/channel scales) for "
@@ -178,6 +184,13 @@ def main(argv=None):
         frozen_params = gen.init(jax.random.PRNGKey(args.seed))
         print("random-init generator (full shapes)")
 
+    if args.int8_probe and gen.triplane_depth <= 1:
+        # fail fast: build_plane_table's tri-grid-only assert would
+        # otherwise fire deep inside the first jitted step
+        raise SystemExit("--int8_probe requires a tri-grid generator "
+                         "(triplane_depth > 1); eg3d tri-planes have no "
+                         "int8 brick path")
+
     decoder = GaussianDecoder(
         generator=gen,
         decoder_type=args.decoder_type,
@@ -197,6 +210,7 @@ def main(argv=None):
         bg_color=bg,
         raster_backend=args.raster_backend,
         lpips_bf16=args.bf16_lpips,
+        reuse_frozen_planes=args.reuse_frozen_planes,
     )
     tcfg = TargetSamplerConfig(
         truncation=args.truncation, init_truncation=args.init_truncation,

@@ -448,7 +448,7 @@ class ImportanceRenderer:
             opts["plane_table"] = build_plane_table(
                 planes, opts.get("triplane_depth", 1),
                 brick_dtype=opts.get("probe_brick_dtype"),
-                pallas_build=bool(opts.get("probe_pallas_build", False)),
+                pallas_build=opts.get("probe_pallas_build", False),
             )
         track_xyz = self.plane_variant == "panohead"
         k_strat, k_imp = jax.random.split(key)

@@ -68,6 +68,11 @@ class DistillConfig:
     # (TPU: custom-VJP Pallas blend, ~2.8x faster rasterizer fwd+bwd)
     lpips_bf16: bool = False      # VGG16 feature convs in bf16 (MXU);
     # the distance itself stays f32 — measured knob, default off
+    reuse_frozen_planes: bool = True  # use_gen_finetune=False only: decode
+    # from the frozen target's feature planes instead of re-synthesising on
+    # the (identical, masked-Adam-frozen) copy. Set False if params['G']
+    # may have diverged from the frozen generator (e.g. a state carried
+    # over from a fine-tuning phase).
 
 
 class TrainState(NamedTuple):
@@ -130,7 +135,8 @@ def make_loss_fn(
             iteration=iteration, cfg=target_cfg,
         )
 
-        if not decoder.use_gen_finetune and decoder.decoder_type != "sequential":
+        if (cfg.reuse_frozen_planes and not decoder.use_gen_finetune
+                and decoder.decoder_type != "sequential"):
             # the fine-tune copy's params are frozen (masked optimizer) and
             # identical to the frozen generator's, and the zero-camera
             # mapping convention matches the target pipeline's — so the

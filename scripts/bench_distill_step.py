@@ -57,17 +57,17 @@ def main():
     dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
                           use_gen_finetune=True,
                           pallas_heads_train=_env_flag("DS_PALLAS_HEADS"),
-                          bf16_sampling=bool(os.environ.get("DS_BF16_SAMPLING")))
+                          bf16_sampling=_env_flag("DS_BF16_SAMPLING"))
     gp = gen.init(jax.random.PRNGKey(1))
     params = dec.init(jax.random.PRNGKey(0), generator_params=gp)
     vgg = VGG16LPIPS()
     vggp = vgg.init(jax.random.PRNGKey(2))
     backend = os.environ.get("RASTER", "pallas_diff")
     cfg = DistillConfig(raster_backend=backend,
-                        lpips_bf16=bool(os.environ.get("DS_BF16_LPIPS")),
+                        lpips_bf16=_env_flag("DS_BF16_LPIPS"),
                         **({"image_size": 64} if SMOKE else {}))
     tcfg = TargetSamplerConfig(
-        bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
+        bf16_probe=_env_flag("DS_BF16_PROBE"),
         int8_probe=_env_flag("DS_INT8_PROBE"),
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
@@ -119,7 +119,7 @@ def stage_ablate():
     vgg = VGG16LPIPS()
     vggp = vgg.init(jax.random.PRNGKey(2))
     tcfg = TargetSamplerConfig(
-        bf16_probe=bool(os.environ.get("DS_BF16_PROBE")),
+        bf16_probe=_env_flag("DS_BF16_PROBE"),
         int8_probe=_env_flag("DS_INT8_PROBE"),
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}

@@ -52,6 +52,10 @@ log "distill step: int8 probe (replaces bf16 probe)"
 DS_PALLAS_HEADS=1 DS_BF16_SAMPLING=1 DS_INT8_PROBE=1 DS_PALLAS_BUILD=1 DS_BF16_LPIPS=1 \
   DS_ITERS=3 timeout 1800 $PY scripts/bench_distill_step.py 2>/dev/null | tee -a "$OUT"
 
+log "distill step: + masked-select probe build"
+DS_PALLAS_HEADS=1 DS_BF16_SAMPLING=1 DS_INT8_PROBE=1 DS_PALLAS_BUILD=select DS_BF16_LPIPS=1 \
+  DS_ITERS=3 timeout 1800 $PY scripts/bench_distill_step.py 2>/dev/null | tee -a "$OUT"
+
 log "distill stage ablate (all knobs on)"
 DS_STAGES=1 DS_PALLAS_HEADS=1 DS_BF16_SAMPLING=1 DS_INT8_PROBE=1 DS_PALLAS_BUILD=1 \
   timeout 2400 $PY scripts/bench_distill_step.py 2>/dev/null | tee -a "$OUT"
