@@ -20,7 +20,14 @@ reference widgets drive:
     normalized to the reference's inverted [-1, 1] convention);
   * live latent changes with plane/decode caching — re-decode only when
     the latent state changes (the `backbone_cache` widget,
-    renderer.py:344-350).
+    renderer.py:344-350);
+  * GAN neural-render modes — `render_type: gan_image | gan_depth` run
+    the generator's own volume render + SR from the viewer camera (the
+    reference visualizer's primary mode), with `depth_mult` scaling both
+    depth resolutions (eg3d/viz/render_depth_sample_widget.py) and `nrr`
+    overriding the neural rendering resolution;
+  * perf counter — `"perf": true` returns the last render wall time in
+    the verify JSON (eg3d/viz/performance_widget.py).
 
 Clients send the extra keys alongside the base SIBR message; plain SIBR /
 splatviz viewers that omit them get the defaults (camera + scale modifier
@@ -69,6 +76,8 @@ class DecoderRenderer:
         self.cp, _ = default_camera_params()
         self._w_cache = {}        # seed -> raw ws (num_ws, w_dim), psi=1
         self._decode_cache = None  # (state_key, decoded EasyDict)
+        self._plane_cache = None   # (state_key, planes) for the GAN modes
+        self.last_render_ms = 0.0  # perf widget (set per render() call)
 
     # -- latent machinery (ref renderer.py:301-335) ---------------------------
 
@@ -137,6 +146,66 @@ class DecoderRenderer:
         self._decode_cache = (state_key, decoded)
         return decoded
 
+    def _planes(self, state_key, ws):
+        if self._plane_cache is not None and self._plane_cache[0] == state_key:
+            return self._plane_cache[1]
+        planes = self.gen.synthesis_planes(self.params["G"], ws,
+                                           noise_mode="const")
+        self._plane_cache = (state_key, planes)
+        return planes
+
+    # -- GAN neural-render modes (ref viz/renderer.py:352-396) ----------------
+
+    def _camera_params_from_cam(self, cam):
+        """network-GUI Camera -> EG3D 25-dim conditioning. cameras.py keeps
+        world_view_transform = inv(cam2world^T) (row-vector form), so
+        cam2world = inv(world_view)^T; normalized intrinsics from
+        tan(fov/2)."""
+        wv = np.asarray(cam.world_view_transform, np.float64)
+        cam2world = np.linalg.inv(wv).T
+        fx = 1.0 / (2.0 * float(cam.tanfovx))
+        fy = 1.0 / (2.0 * float(cam.tanfovy))
+        intr = np.array([[fx, 0, 0.5], [0, fy, 0.5], [0, 0, 1]], np.float64)
+        c = np.concatenate([cam2world.reshape(-1), intr.reshape(-1)])
+        return jnp.asarray(c, jnp.float32)[None]
+
+    def _render_gan(self, cam, msg: dict, ws, state_key) -> np.ndarray:
+        """render_type gan_image | gan_depth: the generator's own two-pass
+        volume render + SR from the viewer camera (the reference
+        visualizer's primary path). `depth_mult` scales both depth
+        resolutions (eg3d/viz/render_depth_sample_widget.py), `nrr`
+        overrides the neural rendering resolution."""
+        from ..ops import resize_bilinear
+
+        planes = self._planes(state_key, ws)
+        rk = self.gen.rk
+        mult = float(msg.get("depth_mult", 1.0))
+        over = {
+            "depth_resolution": max(2, int(round(rk["depth_resolution"] * mult))),
+            "depth_resolution_importance": max(
+                2, int(round(rk["depth_resolution_importance"] * mult))),
+        }
+        default_nrr = (self.tcfg.neural_rendering_resolution
+                       if self.tcfg is not None else 64)
+        nrr = int(msg.get("nrr", default_nrr))
+        out = self.gen.render_planes(
+            self.params["G"], planes, ws, self._camera_params_from_cam(cam),
+            neural_rendering_resolution=nrr, noise_mode="const",
+            rk_overrides=over)
+        if msg.get("render_type") == "gan_depth":
+            # ref renderer.py:381-385: -image_depth, normalized
+            d = -out["image_depth"][0]
+            lo, hi = jnp.min(d), jnp.max(d)
+            img = jnp.tile((d - lo) / jnp.maximum(hi - lo, 1e-8), (3, 1, 1))
+        else:
+            raw = out["image"] if "image" in out else out["image_raw"]
+            img = jnp.clip((raw[0] + 1) / 2, 0, 1)
+        H, W = int(cam.image_height), int(cam.image_width)
+        if img.shape[-2:] != (H, W):
+            img = resize_bilinear(img[None], H, W)[0]
+        return np.asarray(
+            jnp.clip(img * 255, 0, 255)).astype(np.uint8).transpose(1, 2, 0)
+
     # -- layer capture (ref viz/renderer.py:411-447) --------------------------
 
     def layer_list(self):
@@ -186,7 +255,15 @@ class DecoderRenderer:
     # -- frame ----------------------------------------------------------------
 
     def render(self, cam, msg: dict, scale_modifier: float = 1.0) -> np.ndarray:
-        """(Camera, protocol msg) -> (H, W, 3) uint8 frame."""
+        """(Camera, protocol msg) -> (H, W, 3) uint8 frame. Wall time lands
+        in self.last_render_ms (perf widget)."""
+        t0 = time.perf_counter()
+        try:
+            return self._render_impl(cam, msg, scale_modifier)
+        finally:
+            self.last_render_ms = (time.perf_counter() - t0) * 1e3
+
+    def _render_impl(self, cam, msg: dict, scale_modifier: float = 1.0) -> np.ndarray:
         from ..splat.rasterize import rasterize
 
         w0_seeds = msg.get("w0_seeds") or [[int(msg.get("seed", 0)), 1.0]]
@@ -206,6 +283,8 @@ class DecoderRenderer:
                              trunc_psi, trunc_cutoff)
         if msg.get("layer_name"):
             return self._render_layer(ws, msg, cam.image_height)
+        if render_type in ("gan_image", "gan_depth"):
+            return self._render_gan(cam, msg, ws, state_key)
         d = self._decode(state_key, ws)
 
         opac = jax.nn.sigmoid(d["opacity"][:, 0])
@@ -256,13 +335,17 @@ def serve(renderer: DecoderRenderer, host: str, port: int):
                 continue
             img = renderer.render(cam, msg, scale_mod)
             verify = "ok"
+            meta = {}
             if msg.get("list_layers"):
-                # layer names ride back in the verify string (the wire
+                # metadata rides back in the verify string (the wire
                 # format has no other metadata channel)
+                meta["layers"] = renderer.layer_list()
+            if msg.get("perf"):
+                meta["render_ms"] = round(renderer.last_render_ms, 3)
+            if meta:
                 import json as _json
 
-                verify = _json.dumps(
-                    {"ok": True, "layers": renderer.layer_list()})
+                verify = _json.dumps({"ok": True, **meta})
             gui.send(img.tobytes(), verify)
         except (ConnectionError, BrokenPipeError, OSError):
             print("viewer disconnected")

@@ -316,9 +316,19 @@ class TriPlaneGenerator:
         noise_key=None,
         ws_bcg=None,
         plane_table=None,
+        rk_overrides=None,
     ) -> Dict[str, jax.Array]:
-        """Volume render + SR from precomputed planes (ref synthesis :128-225)."""
-        rk = self.rk if plane_table is None else {**self.rk, "plane_table": plane_table}
+        """Volume render + SR from precomputed planes (ref synthesis :128-225).
+
+        rk_overrides: dict merged over rendering_kwargs for this call —
+        e.g. scaled depth_resolution/_importance (the reference
+        visualizer's depth-sample-multiplier widget,
+        eg3d/viz/render_depth_sample_widget.py)."""
+        rk = self.rk
+        if rk_overrides:
+            rk = {**rk, **rk_overrides}
+        if plane_table is not None:
+            rk = {**rk, "plane_table": plane_table}
         if key is None:
             key = jax.random.PRNGKey(0)
         cam2world = c[:, :16].reshape(-1, 4, 4)

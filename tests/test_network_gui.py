@@ -213,3 +213,36 @@ def test_visualizer_layer_capture():
     img1 = r.render(cam, {"seed": 0, "layer_name": names[0],
                           "sel_channels": 1})
     assert (img1[..., 0] == img1[..., 1]).all()
+
+
+def test_visualizer_gan_render_modes():
+    """render_type gan_image/gan_depth run the generator's own volume
+    render from the viewer camera; depth_mult changes the sampling (ref
+    eg3d/viz/render_depth_sample_widget.py), perf time is recorded."""
+    import jax.numpy as jnp
+
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+
+    r = _smoke_renderer()
+    _, c2w = default_camera_params()
+    cam = make_camera(32, jnp.asarray(0.3), c2w)
+
+    gan = r.render(cam, {"seed": 0, "render_type": "gan_image"})
+    assert gan.shape == (32, 32, 3) and gan.dtype == np.uint8
+    assert r.last_render_ms > 0
+    splat = r.render(cam, {"seed": 0})
+    assert (gan != splat).any()                 # different render paths
+
+    gdepth = r.render(cam, {"seed": 0, "render_type": "gan_depth"})
+    assert (gdepth[..., 0] == gdepth[..., 1]).all()   # grayscale
+
+    # depth_mult changes the sample positions -> different frame
+    gan2 = r.render(cam, {"seed": 0, "render_type": "gan_image",
+                          "depth_mult": 2.0})
+    assert (gan2 != gan).any()
+    # camera conversion roundtrip: the 25-dim c reproduces the viewer cam
+    c = np.asarray(r._camera_params_from_cam(cam))[0]
+    wv = np.asarray(cam.world_view_transform)
+    np.testing.assert_allclose(
+        np.linalg.inv(c[:16].reshape(4, 4).T), wv, atol=1e-5)
