@@ -118,7 +118,12 @@ class GaussianDecoder:
     @property
     def _brick_dtype(self):
         if self.int8_sampling:
-            return jnp.int8
+            if self.generator.triplane_depth > 1:
+                return jnp.int8
+            # int8 bricks exist only for the tri-grid table; on tri-plane
+            # (eg3d, depth 1) generators degrade to bf16 instead of
+            # tripping the tri-grid-only assert deep inside jit
+            return jnp.bfloat16
         return jnp.bfloat16 if self.bf16_sampling else None
 
     @property

@@ -30,6 +30,9 @@ log "bench all frame knobs combined (copies=1 + fused key + select + batch8)"
 BENCH_COPIES=1 BENCH_OVERFLOW=$((2**20)) BENCH_FUSED_KEY=1 BENCH_BRICK_SELECT=1 \
   BENCH_ITERS=16 BENCH_FRAME_BATCH=8 timeout 1500 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 
+log "bench eg3d variant (BASELINE config #1; bf16 bilinear bricks)"
+BENCH_VARIANT=eg3d timeout 1500 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
 log "profile_ablate (packed path)"
 PROF_STAGES=synth,table,table_q,sample,stagein,decode,fields,pairs,bin,bin_all,full \
   timeout 2400 $PY scripts/profile_ablate.py 2>/dev/null | tee -a "$OUT"
