@@ -8,6 +8,14 @@ the codec is hand-rolled numpy (the format is a plain packed struct array).
 
 Exported .ply files load in splatviz/SIBR viewers exactly like reference
 exports (same property names and order).
+
+Known reference defect NOT replicated: for active_sh_degree == 0 with
+max_sh_degree > 0 (a save before the first oneupSHdegree ramp step) the
+reference's attribute-name list gates f_rest_* on the ACTIVE degree
+(gaussian_model.py:271) while the data concat gates on MAX
+(gaussian_model.py:287-299), so its structured-array assignment raises.
+Here both gate on the active degree: the save succeeds with the dc-only
+layout, and load_ply zero-fills the missing rest coefficients.
 """
 from __future__ import annotations
 

@@ -195,3 +195,38 @@ def test_scene_from_decoded_activations(rng):
     )
     norms = np.linalg.norm(np.asarray(s.get_rotation), axis=1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-6)
+
+
+def test_ply_header_matches_reference_layout(tmp_path, rng):
+    """Byte-layout golden vs the reference writer's property list
+    (gaussian_model.py:266-279 construct_list_of_attributes + :281-308
+    save_ply): exact header lines and row struct width, sh degree 0 and 1."""
+    from gaussian_gan_decoder_tpu.gaussians.model import GaussianScene
+
+    for deg, n_rest in ((0, 0), (1, 3)):
+        n = 5
+        scene = GaussianScene(
+            xyz=jnp.asarray(rng.randn(n, 3), jnp.float32),
+            features_dc=jnp.asarray(rng.randn(n, 1, 3), jnp.float32),
+            features_rest=jnp.asarray(rng.randn(n, n_rest, 3), jnp.float32),
+            scaling=jnp.asarray(rng.randn(n, 3), jnp.float32),
+            rotation=jnp.asarray(rng.randn(n, 4), jnp.float32),
+            opacity=jnp.asarray(rng.randn(n, 1), jnp.float32),
+            valid=jnp.ones((n,), bool),
+            max_sh_degree=deg, active_sh_degree=deg,
+        )
+        path = str(tmp_path / f"deg{deg}.ply")
+        save_ply(scene, path)
+        blob = open(path, "rb").read()
+        header, _, body = blob.partition(b"end_header\n")
+        want = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
+        names = ["x", "y", "z", "nx", "ny", "nz", "f_dc_0", "f_dc_1", "f_dc_2"]
+        names += [f"f_rest_{i}" for i in range(3 * n_rest)]
+        names += ["opacity", "scale_0", "scale_1", "scale_2",
+                  "rot_0", "rot_1", "rot_2", "rot_3"]
+        want += [f"property float {nm}" for nm in names]
+        assert header.decode().splitlines() == want
+        assert len(body) == n * len(names) * 4          # packed <f4 rows
+        # normals are zeros like the reference (save_ply :285)
+        row = np.frombuffer(body, "<f4", count=len(names))
+        np.testing.assert_array_equal(row[3:6], 0.0)
