@@ -192,27 +192,42 @@ class MaskLabeledDataset:
 
 
 class InfiniteSampler:
-    """Sharded infinite shuffled index stream (ref misc.py:113-136),
-    explicit seed, host-shardable (rank/num_replicas)."""
+    """Sharded infinite shuffled index stream with the reference's
+    sliding-window re-shuffle (ref misc.py:113-136): after each step, the
+    current position is swapped with a random earlier position inside a
+    window of window_size * dataset_size — index-exact vs the reference
+    sampler (golden test imports the actual torch_utils.misc copy)."""
 
     def __init__(self, dataset_size: int, rank: int = 0, num_replicas: int = 1,
-                 seed: int = 0, shuffle: bool = True):
+                 seed: int = 0, shuffle: bool = True, window_size: float = 0.5):
+        assert dataset_size > 0 and num_replicas > 0
+        assert 0 <= rank < num_replicas
+        assert 0 <= window_size <= 1
         self.size = dataset_size
         self.rank = rank
         self.num_replicas = num_replicas
         self.seed = seed
         self.shuffle = shuffle
+        self.window_size = window_size
 
     def __iter__(self) -> Iterator[int]:
-        rng = np.random.RandomState(self.seed)
-        epoch = 0
+        order = np.arange(self.size)
+        rnd = None
+        window = 0
+        if self.shuffle:
+            rnd = np.random.RandomState(self.seed)
+            rnd.shuffle(order)
+            window = int(np.rint(order.size * self.window_size))
+
+        idx = 0
         while True:
-            order = np.arange(self.size)
-            if self.shuffle:
-                rng.shuffle(order)
-            for i in range(self.rank, self.size, self.num_replicas):
+            i = idx % order.size
+            if idx % self.num_replicas == self.rank:
                 yield int(order[i])
-            epoch += 1
+            if window >= 2:
+                j = (i - rnd.randint(window)) % order.size
+                order[i], order[j] = order[j], order[i]
+            idx += 1
 
 
 def batch_iterator(dataset, batch_size: int, sampler: InfiniteSampler):

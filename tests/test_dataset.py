@@ -119,3 +119,49 @@ def test_image_folder_xflip_label(tmp_path):
     base_yaw = get_poseangle(ds.get_label(0))[0]
     flip_yaw = get_poseangle(ds.get_label(1))[0]
     np.testing.assert_allclose(flip_yaw, -base_yaw, atol=1e-4)
+
+
+def test_infinite_sampler_matches_reference():
+    """Index-exact vs the ACTUAL reference InfiniteSampler
+    (/root/reference/PanoHead/torch_utils/misc.py:113-136), including the
+    sliding-window re-shuffle, sharding, and shuffle=False."""
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    REF = "/root/reference/PanoHead"
+    if not os.path.isdir(REF):
+        _pytest.skip("no reference checkout")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    torch = _pytest.importorskip("torch")
+    from torch_utils.misc import InfiniteSampler as RefSampler
+
+    # torch >= 2.2 removed Sampler.__init__(data_source); the reference
+    # calls super().__init__(dataset). Neutralize for the comparison.
+    orig_init = torch.utils.data.Sampler.__init__
+    torch.utils.data.Sampler.__init__ = lambda self, *a, **k: None
+
+    from gaussian_gan_decoder_tpu.data.dataset import InfiniteSampler
+
+    class _FakeDataset:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+    try:
+        for kwargs in (
+            dict(rank=0, num_replicas=1, seed=0),
+            dict(rank=1, num_replicas=3, seed=7, window_size=0.25),
+            dict(rank=0, num_replicas=2, seed=3, shuffle=False),
+        ):
+            ours = iter(InfiniteSampler(37, **kwargs))
+            ref = iter(RefSampler(_FakeDataset(37), **kwargs))
+            got = [next(ours) for _ in range(200)]
+            want = [int(next(ref)) for _ in range(200)]
+            assert got == want, kwargs
+    finally:
+        torch.utils.data.Sampler.__init__ = orig_init
