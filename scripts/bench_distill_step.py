@@ -112,8 +112,12 @@ def stage_ablate():
     from gaussian_gan_decoder_tpu.losses import lpips_loss
 
     gen = _generator()
+    # same decoder knobs as main() so the stage deltas describe the same
+    # step the end-to-end timing measures
     dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
-                          use_gen_finetune=True)
+                          use_gen_finetune=True,
+                          pallas_heads_train=_env_flag("DS_PALLAS_HEADS"),
+                          bf16_sampling=_env_flag("DS_BF16_SAMPLING"))
     gp = gen.init(jax.random.PRNGKey(1))
     params = dec.init(jax.random.PRNGKey(0), generator_params=gp)
     vgg = VGG16LPIPS()
