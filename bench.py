@@ -110,6 +110,7 @@ def main():
     import dataclasses
 
     frame_stream = None
+    path_ran = None
     for fb, packed in ([(frame_batch, True), (1, True), (1, False)]
                        if frame_batch > 1 else [(1, True), (1, False)]):
         try:
@@ -119,6 +120,7 @@ def main():
             candidate = make_stream(fb)
             float(candidate(params, zs))  # compile + warmup
             frame_stream = candidate
+            path_ran = f"frame_batch={fb},packed={packed}"
             break
         except Exception as e:  # noqa: BLE001
             print(f"frame_batch={fb} packed={packed} path failed "
@@ -147,6 +149,9 @@ def main():
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
+        # which cascade path actually ran: a regression in the fast path
+        # must show up as a visible fallback, not a quiet fps drop
+        "path": path_ran,
     }))
 
 

@@ -166,7 +166,10 @@ def main(argv=None):
                 ("c_gen_conditioning_zero", True),
             ),
         )
-        frozen_params = gen.init(jax.random.PRNGKey(args.seed))
+        # jitted init: eager per-op dispatch compiles ~hundreds of tiny
+        # programs on a fresh backend (minutes on an 8-virtual-device CPU
+        # mesh); one traced program is a single compile
+        frozen_params = jax.jit(gen.init)(jax.random.PRNGKey(args.seed))
         args.num_points = min(args.num_points, 1024)
         args.shape_res = min(args.shape_res, 16)
         args.image_size = min(args.image_size, 16)
@@ -181,7 +184,7 @@ def main(argv=None):
     else:
         assert args.random_init, "--network_pkl or --random_init required"
         gen = flagship_generator(variant=variant)
-        frozen_params = gen.init(jax.random.PRNGKey(args.seed))
+        frozen_params = jax.jit(gen.init)(jax.random.PRNGKey(args.seed))
         print("random-init generator (full shapes)")
 
     if args.int8_probe and gen.triplane_depth <= 1:
@@ -236,7 +239,7 @@ def main(argv=None):
     if args.vgg_weights:
         vgg_params = vgg.load_torch_state_dict(dict(np.load(args.vgg_weights)))
     else:
-        vgg_params = vgg.init(jax.random.PRNGKey(7))
+        vgg_params = jax.jit(vgg.init)(jax.random.PRNGKey(7))
         print("WARNING: random VGG16 (supply --vgg_weights for calibrated LPIPS)")
     irse = irse_params = None
     if args.id_loss_weight > 0 and args.id_weights:
@@ -261,7 +264,8 @@ def main(argv=None):
 
     # -- state ------------------------------------------------------------------
     key = jax.random.PRNGKey(args.seed)
-    state = init_train_state(jax.random.fold_in(key, 1), decoder, frozen_params, cfg)
+    state = jax.jit(init_train_state, static_argnums=(1, 3))(
+        jax.random.fold_in(key, 1), decoder, frozen_params, cfg)
     if args.load_checkpoint:
         state = checkpoint.restore(args.load_checkpoint, state)
         print(f"resumed from {args.load_checkpoint} at step {int(state.step)}")
@@ -283,6 +287,12 @@ def main(argv=None):
             mesh, decoder, frozen_params, vgg, vgg_params, irse, irse_params,
             cfg=cfg, target_cfg=tcfg, raster_cfg=rcfg,
         )
+        # commit the state to the step's replicated sharding up front:
+        # step 0 otherwise sees a single-device state and step 1 the
+        # replicated output — two input layouts, two full compiles
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
     else:
         # donate the state: at flagship scale params + Adam moments are
         # ~3x the G copy; without donation every step round-trips them
@@ -323,6 +333,13 @@ def main(argv=None):
                          state.params, frozen_generator_params=frozen_params,
                          target_cfg=tcfg, extra_configs={"distill_cfg": cfg})
             checkpoint.save_npz(os.path.join(outdir, f"decoder{i}.npz"), state.params)
+            # reference-named torch state dict (interop with the reference
+            # ecosystem; mirrors ref train_pano2gaussian_decoder.py:307)
+            from ..port.torch_export import (decoder_state_dict,
+                                             save_torch_state_dict)
+
+            save_torch_state_dict(os.path.join(outdir, f"decoder{i}.pt"),
+                                  decoder_state_dict(decoder, state.params))
             # scene .ply from the last step's decode would need a decode pass;
             # export via the render app instead (apps/render_decoder.py)
 

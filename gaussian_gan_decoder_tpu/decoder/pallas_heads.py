@@ -298,35 +298,49 @@ def _heads_project_kernel(
     chain, scale_offset, compute_dtype, gelu,
     image_w: int, image_h: int, block: int,
     layout,      # name -> (col, dim) in the 16 raw columns
+    interleave: int = 1,
 ):
     from ..splat.projection import project_channels
 
     x_ref[:] = stage_in[:]
-    init = stage_in[:, INIT_COL:INIT_COL + 3].astype(jnp.float32)
+    # interleave G independent row-chunks through the chain: the MXU dots
+    # of one chunk overlap the VPU tail (bias+GELU+transforms+narrow column
+    # stores) of the others — the chain's dots alone run at ~83 TFLOP/s
+    # (microbench_mxu_ilp) but the fused body measured ~3x that time
+    # because VPU and MXU work of a single serial chain can't overlap.
+    G = interleave
+    S = block // G
+    sl = [slice(g * S, (g + 1) * S) for g in range(G)]
+    init = [stage_in[s, INIT_COL:INIT_COL + 3].astype(jnp.float32) for s in sl]
 
     for h, (name, out_dim, stage_col, out_col) in enumerate(chain):
-        x = x_ref[:].astype(compute_dtype)
-        a = jnp.dot(x, w1[h], preferred_element_type=jnp.float32) + b1[h].astype(jnp.float32)
-        a = gelu(a).astype(compute_dtype)
-        a = jnp.dot(a, w2[h], preferred_element_type=jnp.float32) + b2[h].astype(jnp.float32)
-        a = gelu(a).astype(compute_dtype)
-        a = jnp.dot(a, w3[h], preferred_element_type=jnp.float32) + b3[h].astype(jnp.float32)
-        a = gelu(a).astype(compute_dtype)
-        o = jnp.dot(a, w4[h], preferred_element_type=jnp.float32) + b4[h].astype(jnp.float32)
+        x = [x_ref[s].astype(compute_dtype) for s in sl]
+        a = [jnp.dot(xg, w1[h], preferred_element_type=jnp.float32)
+             + b1[h].astype(jnp.float32) for xg in x]
+        a = [gelu(ag).astype(compute_dtype) for ag in a]
+        a = [jnp.dot(ag, w2[h], preferred_element_type=jnp.float32)
+             + b2[h].astype(jnp.float32) for ag in a]
+        a = [gelu(ag).astype(compute_dtype) for ag in a]
+        a = [jnp.dot(ag, w3[h], preferred_element_type=jnp.float32)
+             + b3[h].astype(jnp.float32) for ag in a]
+        a = [gelu(ag).astype(compute_dtype) for ag in a]
+        o = [jnp.dot(ag, w4[h], preferred_element_type=jnp.float32)
+             + b4[h].astype(jnp.float32) for ag in a]
         if name == "scale":
-            o = -jax.nn.softplus(o + 5.0) + scale_offset
+            o = [-jax.nn.softplus(og + 5.0) + scale_offset for og in o]
         elif name == "xyz":
-            o = o * 0.01
-            col = jax.lax.broadcasted_iota(jnp.int32, o.shape, 1)
-            init_w = jnp.concatenate(
-                [init, jnp.zeros((init.shape[0], o.shape[1] - 3), jnp.float32)],
-                axis=1,
-            )
-            o = o + jnp.where(col < 3, init_w, 0.0)
-        t = o.astype(stage_in.dtype)
-        if stage_col + out_dim <= STAGE:
-            x_ref[:, stage_col:stage_col + out_dim] = t[:, :out_dim]
-        o16_ref[:, out_col:out_col + out_dim] = o[:, :out_dim]
+            col = jax.lax.broadcasted_iota(jnp.int32, o[0].shape, 1)
+            o = [og * 0.01 + jnp.where(
+                col < 3,
+                jnp.concatenate(
+                    [ig, jnp.zeros((ig.shape[0], og.shape[1] - 3), jnp.float32)],
+                    axis=1),
+                0.0) for og, ig in zip(o, init)]
+        for g in range(G):
+            t = o[g].astype(stage_in.dtype)
+            if stage_col + out_dim <= STAGE:
+                x_ref[sl[g], stage_col:stage_col + out_dim] = t[:, :out_dim]
+            o16_ref[sl[g], out_col:out_col + out_dim] = o[g][:, :out_dim]
 
     # ONE in-VMEM transpose -> every per-point quantity becomes a clean
     # (1, BLK) lane-vector; EWA projection runs here instead of as an XLA
@@ -381,6 +395,7 @@ def decode_project_pallas(
     block: int = 1024,
     interpret: bool | None = None,
     gelu: str = "exact",
+    interleave: int = 1,
 ):
     """Fused heads + projection -> (rows (NROWS, Mpad) f32, layout).
 
@@ -392,6 +407,7 @@ def decode_project_pallas(
     M, F = feats_mean.shape
     P = cond0.shape[1]
     assert F == 32 and 32 + P + sum(d for _, d in chain_spec) <= INIT_COL
+    assert block % interleave == 0, (block, interleave)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -416,7 +432,7 @@ def decode_project_pallas(
             chain=tuple(chain), scale_offset=scale_offset,
             compute_dtype=compute_dtype, gelu=_GELUS[gelu],
             image_w=cam.image_width, image_h=cam.image_height,
-            block=block, layout=layout,
+            block=block, layout=layout, interleave=interleave,
         ),
         grid=(Mpad // block,),
         in_specs=[

@@ -95,6 +95,46 @@ def is50k(*, gen_batches, logits_fn=None, num_items=50_000, num_splits=10, **_):
     return {"is50k_mean": float(np.mean(scores)), "is50k_std": float(np.std(scores))}
 
 
+@register_metric
+def eqt50k_int(*, G=None, G_params=None, key=None, num_items=50_000,
+               batch_size=4, real_batches=None, gen_batches=None,
+               feature_fn=None, logits_fn=None, **_):
+    """Integer-translation equivariance PSNR (ref eg3d/metrics/
+    metric_main.py:141-146 -> equivariance.compute_equivariance_metrics)."""
+    from .equivariance import compute_equivariance_metrics
+
+    psnr, = compute_equivariance_metrics(
+        G, G_params, key, num_samples=num_items, batch_size=batch_size,
+        compute_eqt_int=True)
+    return {"eqt50k_int": psnr}
+
+
+@register_metric
+def eqt50k_frac(*, G=None, G_params=None, key=None, num_items=50_000,
+                batch_size=4, real_batches=None, gen_batches=None,
+                feature_fn=None, logits_fn=None, **_):
+    """Fractional-translation equivariance PSNR (ref metric_main.py:148-153)."""
+    from .equivariance import compute_equivariance_metrics
+
+    psnr, = compute_equivariance_metrics(
+        G, G_params, key, num_samples=num_items, batch_size=batch_size,
+        compute_eqt_frac=True)
+    return {"eqt50k_frac": psnr}
+
+
+@register_metric
+def eqr50k(*, G=None, G_params=None, key=None, num_items=50_000,
+           batch_size=4, real_batches=None, gen_batches=None,
+           feature_fn=None, logits_fn=None, **_):
+    """Rotation equivariance PSNR (ref metric_main.py:155-160)."""
+    from .equivariance import compute_equivariance_metrics
+
+    psnr, = compute_equivariance_metrics(
+        G, G_params, key, num_samples=num_items, batch_size=batch_size,
+        compute_eqr=True)
+    return {"eqr50k": psnr}
+
+
 # ----------------------------------------------------------------------------
 # sample streams
 

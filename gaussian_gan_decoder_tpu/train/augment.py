@@ -9,6 +9,9 @@ probability multipliers —
                    affine and applied with a single bilinear grid-sample
   color:           brightness, contrast, lumaflip, hue, saturation —
                    composed into ONE 4x4 color matrix
+  filtering:       imgfilter — per-sample random amplification of 4 dyadic
+                   sym2 wavelet frequency bands (ref augment.py:176-186,
+                   382-410), applied as a separable depthwise conv
   corruption:      additive gaussian noise, cutout
 
 plus the adaptive-p heuristic (`ada_update`, ref training_loop.py:316-325).
@@ -21,10 +24,14 @@ cheaper and non-alias-free (acceptable for the D-input corruption role).
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import grid_sample_2d
 
@@ -53,10 +60,61 @@ class AugmentConfig:
     contrast_std: float = 0.5
     hue_max: float = 1.0
     saturation_std: float = 1.0
+    imgfilter: float = 0.0
+    imgfilter_bands: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    imgfilter_std: float = 1.0
     noise: float = 0.0
     cutout: float = 0.0
     noise_std: float = 0.1
     cutout_size: float = 0.5
+
+
+# sym2 wavelet (ref augment.py:38); the 4-band filter bank below follows
+# ref augment.py:176-186: band 0 = iterated lowpass, band i = lowpass^(i-1)
+# then highpass, dyadically upsampled — a perfect-reconstruction split
+# (the rows sum to a unit impulse).
+_SYM2 = (-0.12940952255092145, 0.22414386804185735,
+         0.836516303737469, 0.48296291314469025)
+
+
+@functools.lru_cache(maxsize=1)
+def imgfilter_bank() -> np.ndarray:
+    """-> (4, taps) frequency band filters (ref Hz_fbank buffer)."""
+    hz_lo = np.asarray(_SYM2)
+    hz_hi = hz_lo * ((-1.0) ** np.arange(hz_lo.size))
+    hz_lo2 = np.convolve(hz_lo, hz_lo[::-1]) / 2
+    hz_hi2 = np.convolve(hz_hi, hz_hi[::-1]) / 2
+    fbank = np.eye(4, 1)
+    for i in range(1, fbank.shape[0]):
+        # dyadic upsample of every row, then per-row full convolution
+        # with hz_lo2 (≙ scipy.signal.convolve(fbank, [hz_lo2]))
+        fbank = np.dstack([fbank, np.zeros_like(fbank)]).reshape(
+            fbank.shape[0], -1)[:, :-1]
+        fbank = np.stack([np.convolve(row, hz_lo2) for row in fbank])
+        lo = (fbank.shape[1] - hz_hi2.size) // 2
+        fbank[i, lo:lo + hz_hi2.size] += hz_hi2
+    return fbank.astype(np.float32)
+
+
+def apply_imgfilter(images: jax.Array, g: jax.Array) -> jax.Array:
+    """Amplify frequency bands with per-sample gains g (N, 4): separable
+    per-sample depthwise conv with reflect padding (ref augment.py:399-410)."""
+    n, c, h, w = images.shape
+    fbank = jnp.asarray(imgfilter_bank())
+    hz = g @ fbank                                   # (N, taps)
+    taps = fbank.shape[1]
+    pd = taps // 2
+    f = jnp.repeat(hz, c, axis=0)                    # (N*C, taps), batch-major
+    x = images.reshape(1, n * c, h, w)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pd, pd), (pd, pd)), mode="reflect")
+    dn = ("NCHW", "OIHW", "NCHW")
+    x = jax.lax.conv_general_dilated(
+        x, f.reshape(n * c, 1, 1, taps), (1, 1), "VALID",
+        feature_group_count=n * c, dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(
+        x, f.reshape(n * c, 1, taps, 1), (1, 1), "VALID",
+        feature_group_count=n * c, dimension_numbers=dn)
+    return x.reshape(n, c, h, w)
 
 
 def _rot2(theta):
@@ -81,7 +139,7 @@ def _affine(sx, sy, tx, ty):
 def augment_pipe(key, images: jax.Array, p: jax.Array, cfg: AugmentConfig = AugmentConfig()):
     """images (N, C, H, W) in [-1,1]; p scalar adaptive probability."""
     n, c, h, w = images.shape
-    keys = iter(jax.random.split(key, 24))
+    keys = iter(jax.random.split(key, 40))
     nk = lambda: next(keys)  # noqa: E731
 
     def bern(prob_mult):
@@ -177,6 +235,21 @@ def augment_pipe(key, images: jax.Array, p: jax.Array, cfg: AugmentConfig = Augm
     )
     rgb = jnp.einsum("nij,njhw->nihw", C.astype(images.dtype), rgb)[:, :3]
     images = jnp.concatenate([rgb, images[:, 3:]], axis=1) if c > 3 else rgb
+
+    # ---- image-space filtering (ref augment.py:382-410) ----------------------
+    if cfg.imgfilter > 0:
+        num_bands = 4
+        assert len(cfg.imgfilter_bands) == num_bands
+        expected_power = jnp.asarray([10.0, 1.0, 1.0, 1.0]) / 13.0  # 1/f law
+        g = jnp.ones((n, num_bands))
+        for i, band_strength in enumerate(cfg.imgfilter_bands):
+            t_i = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.imgfilter_std)
+            t_i = jnp.where(bern(cfg.imgfilter * band_strength), t_i, 1.0)
+            t = jnp.ones((n, num_bands)).at[:, i].set(t_i)
+            t = t / jnp.sqrt(
+                jnp.sum(expected_power * jnp.square(t), axis=-1, keepdims=True))
+            g = g * t
+        images = apply_imgfilter(images, g.astype(images.dtype))
 
     # ---- corruption -----------------------------------------------------------
     if cfg.noise > 0:

@@ -40,6 +40,34 @@ def main():
     M = 500_000
 
     def frame(params, z, stage):
+        if stage in ("sample_full", "stagein_full"):
+            # FULL consumption: the sampled-sum variants let XLA slim the
+            # gather (it fuses the stride into the take indices), so their
+            # deltas under-count the gather and over-count the next stage
+            # (r3 finding: the decode kernel alone measures 1.7 ms
+            # standalone but 11.5 ms by sampled-sum deltas)
+            planes, _ = dec.synthesize_planes(params, z, cp, 1.0)
+            g = dec.generator
+            from gaussian_gan_decoder_tpu.neuralfield.renderer import (
+                sample_from_planes)
+            feats = sample_from_planes(
+                g.renderer.plane_axes, planes, init_pos[None],
+                box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
+                brick_dtype=dec._brick_dtype, pallas_build=True)[0]
+            if stage == "sample_full":
+                return jnp.sum(feats.astype(jnp.float32))
+            fm = jnp.mean(feats, axis=0).astype(jnp.float32)
+            cond = (dec.embedder(init_pos) if dec.use_xyz_embedding
+                    else init_pos)
+            from gaussian_gan_decoder_tpu.decoder.pallas_heads import (
+                _build_staging)
+            staging, _ = _build_staging(
+                fm, cond, init_pos,
+                [(n, d) for n, d in
+                 __import__("gaussian_gan_decoder_tpu.decoder.heads",
+                            fromlist=["_CHAINS"])._CHAINS[dec.decoder_type]],
+                1024, jnp.bfloat16)
+            return jnp.sum(staging.astype(jnp.float32))
         if stage in ("synth", "table", "table_q", "sample"):
             planes, _ = dec.synthesize_planes(params, z, cp, 1.0)
             if stage == "synth":

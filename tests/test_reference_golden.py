@@ -602,3 +602,38 @@ def test_convert_checkpoint_decoder_roundtrip(tmp_path):
     cfg, params, configs = load_decoder(str(out))
     assert cfg.decoder_type == "sequential_reversed"
     _assert_decoder_forward_parity(dec, cfg, params)
+
+
+def test_decoder_torch_export_roundtrip():
+    """Reverse-port interop (port/torch_export.py): port a reference
+    decoder, re-export it as a torch state dict, and load THAT into a
+    fresh reference decoder instance — outputs must match the original.
+    Missing keys may only be static resample-filter buffers (config, not
+    params, on our side); unexpected keys must be empty."""
+    from gaussian_gan_decoder_tpu.port.torch_export import decoder_state_dict
+
+    dec = _build_ref_decoder(use_xyz_embedding=False)
+    buf = pickle.dumps({"decoder": dec, "training_options": {}})
+    cfg, params = load_decoder_pkl(io.BytesIO(buf))
+
+    exported = {k: torch.from_numpy(v)
+                for k, v in decoder_state_dict(cfg, params).items()}
+
+    torch.manual_seed(123)  # fresh weights — exported must overwrite all
+    dec2 = _build_ref_decoder(use_xyz_embedding=False)
+    result = dec2.load_state_dict(exported, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    for k in result.missing_keys:
+        assert k.endswith(("resample_filter", "up_filter", "down_filter")), k
+
+    z = np.random.RandomState(5).randn(1, 64).astype(np.float32)
+    c = _camera()
+    pos = ((np.random.RandomState(6).rand(500, 3) - 0.5) * 0.8).astype(np.float32)
+    with torch.no_grad():
+        ref_out = dec(torch.from_numpy(z), torch.from_numpy(c),
+                      torch.from_numpy(pos), truncation_psi=0.8)
+        out2 = dec2(torch.from_numpy(z), torch.from_numpy(c),
+                    torch.from_numpy(pos), truncation_psi=0.8)
+    for k in ["color", "opacity", "rotation", "scale", "xyz"]:
+        np.testing.assert_allclose(
+            out2[k].numpy(), ref_out[k].numpy(), atol=1e-5, err_msg=k)
