@@ -35,7 +35,10 @@ def main():
 
     from gaussian_gan_decoder_tpu.flagship import flagship_generator
 
-    dec = flagship_decoder(gen=flagship_generator(variant=variant))
+    dec = flagship_decoder(
+        gen=flagship_generator(variant=variant),
+        fused_sampling=bool(int(os.environ.get("BENCH_FUSED_SAMPLING", "0"))),
+    )
     if os.environ.get("BENCH_BRICK_SELECT", "").strip().lower() not in ("", "0", "false", "no"):
         # channel-duplicated brick-build source: masked-select stores
         # instead of lane rotations (sweep knob; PERFORMANCE.md roadmap)

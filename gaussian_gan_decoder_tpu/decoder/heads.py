@@ -114,6 +114,12 @@ class GaussianDecoder:
     pallas_sampling: bool = False  # Pallas streaming brick-table build;
     # 'select' = channel-duplicated source variant (lane-aligned masked-
     # select stores instead of 8 lane rotations)
+    fused_sampling: bool = False  # move the brick-row dequant+lerp+plane-
+    # mean INTO the heads kernel (decode_project only): feeding the opaque
+    # pallas_call otherwise forces XLA to materialise the gather->lerp->
+    # mean->concat chain (~+8 ms/frame at flagship)
+    fused_lerp: str = "dots"      # in-kernel lerp form: 'dots' (MXU
+    # expand+segment-sum) | 'bcast' (VPU per-corner broadcasts)
 
     @property
     def _brick_dtype(self):
@@ -304,6 +310,34 @@ class GaussianDecoder:
         from .pallas_heads import decode_project_pallas
 
         g = self.generator
+        if self.fused_sampling:
+            from ..neuralfield.renderer import sample_fused_inputs
+            from .pallas_heads import decode_project_pallas_fused
+
+            M = init_position.shape[0]
+            block = 1024
+            Mpad = -(-M // block) * block
+            rows, wts, smats, K = sample_fused_inputs(
+                g.renderer.plane_axes, planes, init_position[None],
+                box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
+                brick_dtype=self._brick_dtype,
+                pallas_build=self.pallas_sampling if g.triplane_depth > 1 else False,
+                pad_to=Mpad,
+            )
+            cond = (self.embedder(init_position) if self.use_xyz_embedding
+                    else init_position)
+            return decode_project_pallas_fused(
+                {name: params[name] for name, _ in _CHAINS[self.decoder_type]},
+                _CHAINS[self.decoder_type],
+                rows, wts, smats, K,
+                cond, init_position, self.scale_offset,
+                cam=cam, n_points=M,
+                parallel=(self.decoder_type == "parallel"),
+                compute_dtype=jnp.bfloat16 if self.heads_bf16 else jnp.float32,
+                block=block,
+                gelu=self.gelu,
+                lerp_mode=self.fused_lerp,
+            )
         feats = sample_from_planes(
             g.renderer.plane_axes, planes, init_position[None],
             box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,

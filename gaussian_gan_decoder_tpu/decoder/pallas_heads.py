@@ -285,24 +285,19 @@ class _KernelCam:
         self.image_height = h
 
 
-def _heads_project_kernel(
-    stage_in,    # (BLK, 128) staging input
-    w1, b1, w2, b2, w3, b3, w4, b4,   # packed weights (5, ...)
-    wv_ref,      # (4, 4) world_view_transform (row-vector convention)
-    pj_ref,      # (4, 4) full_proj_transform
-    consts_ref,  # (1, 8): tanfovx, tanfovy, n_points, sh_c0, pad...
-    out_ref,     # (NROWS, BLK) channel-major
-    x_ref,       # scratch (BLK, 128) staging copy
-    o16_ref,     # scratch (BLK, 16) f32 raw outputs
+def _chain_project_body(
+    x_ref, o16_ref, out_ref,
+    w1, b1, w2, b2, w3, b3, w4, b4,
+    wv_ref, pj_ref, consts_ref,
     *,
     chain, scale_offset, compute_dtype, gelu,
-    image_w: int, image_h: int, block: int,
-    layout,      # name -> (col, dim) in the 16 raw columns
-    interleave: int = 1,
+    image_w: int, image_h: int, block: int, layout, interleave: int,
 ):
+    """Shared kernel tail: run the 5-head chain over the staging in x_ref,
+    then the EWA projection on the channel-major outputs. x_ref must hold
+    the full staging block (fm ⊕ cond ⊕ chain-zeros ⊕ init)."""
     from ..splat.projection import project_channels
 
-    x_ref[:] = stage_in[:]
     # interleave G independent row-chunks through the chain: the MXU dots
     # of one chunk overlap the VPU tail (bias+GELU+transforms+narrow column
     # stores) of the others — the chain's dots alone run at ~83 TFLOP/s
@@ -311,7 +306,7 @@ def _heads_project_kernel(
     G = interleave
     S = block // G
     sl = [slice(g * S, (g + 1) * S) for g in range(G)]
-    init = [stage_in[s, INIT_COL:INIT_COL + 3].astype(jnp.float32) for s in sl]
+    init = [x_ref[s, INIT_COL:INIT_COL + 3].astype(jnp.float32) for s in sl]
 
     for h, (name, out_dim, stage_col, out_col) in enumerate(chain):
         x = [x_ref[s].astype(compute_dtype) for s in sl]
@@ -337,7 +332,7 @@ def _heads_project_kernel(
                     axis=1),
                 0.0) for og, ig in zip(o, init)]
         for g in range(G):
-            t = o[g].astype(stage_in.dtype)
+            t = o[g].astype(x_ref.dtype)
             if stage_col + out_dim <= STAGE:
                 x_ref[sl[g], stage_col:stage_col + out_dim] = t[:, :out_dim]
             o16_ref[sl[g], out_col:out_col + out_dim] = o[g][:, :out_dim]
@@ -384,6 +379,82 @@ def _heads_project_kernel(
     out_ref[PROJ_ROWS["visible"], :] = jnp.where(visible, 1.0, 0.0)[0]
     for r in range(max(PROJ_ROWS.values()) + 1, NROWS):
         out_ref[r, :] = jnp.zeros((block,), jnp.float32)
+
+
+def _heads_project_kernel(
+    stage_in,    # (BLK, 128) staging input
+    w1, b1, w2, b2, w3, b3, w4, b4,   # packed weights (5, ...)
+    wv_ref,      # (4, 4) world_view_transform (row-vector convention)
+    pj_ref,      # (4, 4) full_proj_transform
+    consts_ref,  # (1, 8): tanfovx, tanfovy, n_points, sh_c0, pad...
+    out_ref,     # (NROWS, BLK) channel-major
+    x_ref,       # scratch (BLK, 128) staging copy
+    o16_ref,     # scratch (BLK, 16) f32 raw outputs
+    **kw,
+):
+    x_ref[:] = stage_in[:]
+    _chain_project_body(
+        x_ref, o16_ref, out_ref, w1, b1, w2, b2, w3, b3, w4, b4,
+        wv_ref, pj_ref, consts_ref, **kw)
+
+
+def _sample_heads_project_kernel(
+    aux_in,      # (BLK, 128) staging with the fm columns ZERO
+    rows0, rows1, rows2,   # (BLK, K*C) per-plane brick-row takes
+    wts_ref,     # (WR, BLK) f32 channel-major corner weights
+    smats_ref,   # (n_planes, K*C, C) f32 dequant/mean-folded segment mats
+    w1, b1, w2, b2, w3, b3, w4, b4,
+    wv_ref, pj_ref, consts_ref,
+    out_ref, x_ref, o16_ref,
+    *,
+    K: int, C: int, lerp_mode: str = "dots",
+    **kw,
+):
+    """Gather-fused variant: reconstruct fm = mean-over-planes trilinear
+    sample IN VMEM from the raw brick rows, then run the shared chain+
+    projection tail.
+
+    lerp_mode:
+      'dots'  — two MXU dots per plane: wrow = w8 @ E expands the K
+                per-point weights to the K*C lane groups, then
+                (rows * wrow) @ smat segment-sums corners with the dequant
+                scale folded in (bf16 operands, f32 accumulate);
+      'bcast' — K (BLK, C) broadcast-multiplies per plane (C=32 of 128
+                lanes -> 4x VPU lane waste, but no MXU round trips)."""
+    block = kw["block"]
+    x_ref[:] = aux_in[:]
+    wT = jnp.transpose(wts_ref[:])            # (BLK, WR) f32
+    acc = jnp.zeros((block, C), jnp.float32)
+    if lerp_mode == "dots":
+        # corner -> lane-group expander E[c, c*C+j] = 1 (built from iota;
+        # a (K, K*C) constant — cheaper than another operand DMA). bf16:
+        # int8 rows are exact in bf16; weight products round at 2^-8,
+        # inside the int8 table's 2^-7 error budget.
+        lane_g = jax.lax.broadcasted_iota(jnp.int32, (K, K * C), 1) // C
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (K, K * C), 0)
+        expander = (lane_g == row_g).astype(jnp.bfloat16)
+        for p, r_ref in enumerate((rows0, rows1, rows2)):
+            w8 = wT[:, p * K:(p + 1) * K].astype(jnp.bfloat16)
+            wrow = jnp.dot(w8, expander,
+                           preferred_element_type=jnp.bfloat16)
+            prod = r_ref[:].astype(jnp.bfloat16) * wrow
+            acc = acc + jnp.dot(prod, smats_ref[p].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+    else:
+        for p, r_ref in enumerate((rows0, rows1, rows2)):
+            r = r_ref[:]
+            accp = jnp.zeros((block, C), jnp.float32)
+            for c in range(K):
+                w = wT[:, p * K + c:p * K + c + 1]          # (BLK, 1) f32
+                accp = accp + r[:, c * C:(c + 1) * C].astype(jnp.float32) * w
+            # per-channel scale recovered from the segment matrix:
+            # column sums are K * scale[p, j] / n_planes
+            scale_row = jnp.sum(smats_ref[p], axis=0, keepdims=True) / K
+            acc = acc + accp * scale_row
+    x_ref[:, 0:C] = acc.astype(x_ref.dtype)
+    _chain_project_body(
+        x_ref, o16_ref, out_ref, w1, b1, w2, b2, w3, b3, w4, b4,
+        wv_ref, pj_ref, consts_ref, **kw)
 
 
 def decode_project_pallas(
@@ -448,3 +519,87 @@ def decode_project_pallas(
         interpret=interpret,
     )(staging, *weights, wv, pj, consts)
     return rows, layout
+
+
+def decode_project_pallas_fused(
+    head_params, chain_spec,
+    rows,                        # list of n_planes (Mpad, K*C) brick rows
+    wts_cm,                      # (WR, Mpad) f32 channel-major weights
+    smats,                       # (n_planes, K*C, C) f32
+    K: int,
+    cond0, init_position, scale_offset,
+    cam, n_points: int,
+    parallel: bool = False,
+    compute_dtype=jnp.float32,
+    block: int = 1024,
+    interpret: bool | None = None,
+    gelu: str = "exact",
+    interleave: int = 1,
+    lerp_mode: str = "dots",
+):
+    """Gather-fused heads + projection (see sample_fused_inputs for the
+    XLA-side contract). Same output contract as decode_project_pallas:
+    (rows (NROWS, Mpad) f32, layout).
+
+    vs decode_project_pallas: the staging input no longer depends on the
+    tri-grid gather, so XLA's materialisation of the gather->lerp->mean->
+    concat chain (measured ~+8 ms/frame at flagship when it feeds the
+    opaque pallas_call) disappears; the kernel reconstructs fm in VMEM
+    from the raw (block, K*C) brick rows with two tiny MXU dots."""
+    assert len(rows) == 3, "kernel is specialised to 3 planes"
+    M = init_position.shape[0]
+    P = cond0.shape[1]
+    C = smats.shape[-1]
+    assert C == 32 and 32 + P + sum(d for _, d in chain_spec) <= INIT_COL
+    assert block % interleave == 0, (block, interleave)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    weights, chain, layout = _pack_chain(
+        head_params, chain_spec, P, parallel, compute_dtype)
+    # aux = staging with the fm columns zero (the kernel fills them)
+    aux, Mpad = _build_staging(
+        jnp.zeros((M, C), jnp.float32), cond0, init_position, chain_spec,
+        block, compute_dtype)
+    assert rows[0].shape == (Mpad, K * C), (rows[0].shape, Mpad, K * C)
+    assert wts_cm.shape[1] == Mpad, (wts_cm.shape, Mpad)
+    WR = wts_cm.shape[0]
+
+    wv = cam.world_view_transform.astype(jnp.float32)
+    pj = cam.full_proj_transform.astype(jnp.float32)
+    consts = jnp.stack([
+        jnp.asarray(cam.tanfovx, jnp.float32),
+        jnp.asarray(cam.tanfovy, jnp.float32),
+        jnp.asarray(n_points, jnp.float32),
+        jnp.asarray(0.28209479177387814, jnp.float32),
+    ]).reshape(1, 4)
+    consts = jnp.pad(consts, ((0, 0), (0, 4)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _sample_heads_project_kernel,
+            K=K, C=C, lerp_mode=lerp_mode,
+            chain=tuple(chain), scale_offset=scale_offset,
+            compute_dtype=compute_dtype, gelu=_GELUS[gelu],
+            image_w=cam.image_width, image_h=cam.image_height,
+            block=block, layout=layout, interleave=interleave,
+        ),
+        grid=(Mpad // block,),
+        in_specs=[
+            pl.BlockSpec((block, STAGE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, K * C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, K * C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, K * C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((WR, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec(
+            (NROWS, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NROWS, Mpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block, STAGE), compute_dtype),
+            pltpu.VMEM((block, OUT_W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(aux, rows[0], rows[1], rows[2], wts_cm, smats, *weights, wv, pj, consts)
+    return out, layout

@@ -32,6 +32,7 @@ def flagship_generator(variant: str = "panohead", img_resolution: int = 512) -> 
 def flagship_decoder(
     gen: Optional[TriPlaneGenerator] = None, hidden_dim: int = 128,
     bf16_sampling: bool = True, pallas_heads: bool = True,
+    fused_sampling: Optional[bool] = None,
 ) -> GaussianDecoder:
     """bf16_sampling halves the tri-grid brick bytes (~10 ms/frame) at
     ~2^-8 relative feature error; pallas_heads runs the 5-head chain in
@@ -53,6 +54,10 @@ def flagship_decoder(
         # polynomial GELU: 1.2e-4 max dev from exact erf, no VPU
         # transcendentals — the erf path costs 5.5 ms/frame in the chain
         gelu="poly" if pallas_heads else "exact",
+        # gather-fused decode_project: the dequant+lerp+plane-mean move
+        # into the heads kernel (see decoder/pallas_heads.py); default
+        # OFF until hardware-measured (PERFORMANCE.md protocol)
+        fused_sampling=bool(fused_sampling),
     )
 
 

@@ -303,6 +303,101 @@ def _trilinear_sample_table(table, C, D, H, W, grid):
     return jax.vmap(combine)(rows, *wargs)
 
 
+def sample_fused_inputs(
+    plane_axes: np.ndarray,
+    plane_features: jax.Array,   # (1, n_planes, C*D, H, W)
+    coordinates: jax.Array,      # (1, M, 3)
+    box_warp: float,
+    triplane_depth: int = 1,
+    brick_dtype=None,
+    pallas_build: bool = False,
+    table=None,
+    pad_to: Optional[int] = None,
+):
+    """XLA-side inputs for the gather-fused heads kernel
+    (decoder/pallas_heads.decode_project_pallas_fused).
+
+    The lerp/dequant/plane-mean of sample_from_planes moves INTO the Pallas
+    heads kernel: feeding the opaque pallas_call forces XLA to materialise
+    every intermediate of the gather->lerp->mean->concat chain (measured
+    ~+8 ms/frame over the same math fused into a reduction), so the XLA
+    side here is only what MUST materialise — the per-plane brick-row
+    takes — plus cheap 1-D index/weight vectors.
+
+    Returns (rows, wts_cm, smats, K):
+      rows   — list of n_planes (Mpad, K*C) brick-row takes (table dtype);
+      wts_cm — (WR, Mpad) f32 CHANNEL-MAJOR corner weights, row p*K+c =
+               mask-folded corner weight (same f32 products
+               _trilinear_sample_table uses); WR = round_up(n_planes*K, 8);
+      smats  — (n_planes, K*C, C) f32 segment-sum matrices with the int8
+               dequant scales and the 1/n_planes mean folded in, so
+               fm = sum_p (rows_p * expand(w8_p)) @ smats[p]
+               == mean_p(lerp_sample(plane p)) (f32 accumulation);
+      K      — corners per tap (8 tri-grid, 4 tri-plane).
+    """
+    N, n_planes, CD, H, W = plane_features.shape
+    assert N == 1, "fused sampling is single-scene (decode hot path)"
+    M = coordinates.shape[1]
+    C, D = CD // triplane_depth, triplane_depth
+    Mpad = pad_to if pad_to is not None else M
+    assert Mpad >= M
+
+    coords = (2.0 / box_warp) * coordinates
+    proj = project_onto_planes(plane_axes, coords).reshape(n_planes, M, 3)
+
+    if table is None:
+        table = build_plane_table(
+            plane_features, triplane_depth,
+            brick_dtype=brick_dtype, pallas_build=pallas_build,
+        )
+    e = table[0]
+    if triplane_depth == 1:
+        K, NY, scales = 4, None, None
+    else:
+        K, NY = 8, table[1]
+        scales = table[2] if len(table) > 2 else None
+
+    def w01(w, v0, v1):
+        return (jnp.where(v0, 1.0 - w, 0.0), jnp.where(v1, w, 0.0))
+
+    rows, wcols = [], []
+    for b in range(n_planes):
+        g = proj[b]
+        ix, wx, vx0, vx1 = _corner_weights_1d(g[:, 0], W)
+        iy, wy, vy0, vy1 = _corner_weights_1d(g[:, 1], H)
+        ax, ay = w01(wx, vx0, vx1), w01(wy, vy0, vy1)
+        if K == 8:
+            iz, wz, vz0, vz1 = _corner_weights_1d(g[:, 2], D)
+            az = w01(wz, vz0, vz1)
+            idx = (iz * NY + iy) * (W + 1) + ix
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        wcols.append(az[dz] * ay[dy] * ax[dx])
+        else:
+            idx = iy * (W + 1) + ix
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    wcols.append(ay[dy] * ax[dx])
+        if Mpad != M:  # pad the INDEX (cheap) so the take emits (Mpad, K*C)
+            idx = jnp.pad(idx, (0, Mpad - M))
+        rows.append(jnp.take(e[b], idx, axis=0))
+
+    wts = jnp.stack([w.astype(jnp.float32) for w in wcols])  # (n_planes*K, M)
+    WR = -(-(n_planes * K) // 8) * 8
+    wts = jnp.pad(wts, ((0, WR - n_planes * K), (0, Mpad - M)))
+
+    seg = np.zeros((K * C, C), np.float32)
+    for c in range(K):
+        seg[c * C:(c + 1) * C] = np.eye(C, dtype=np.float32)
+    seg_j = jnp.asarray(seg)
+    if scales is None:
+        smats = jnp.broadcast_to(seg_j / n_planes, (n_planes, K * C, C))
+    else:  # int8: per-(plane, channel) dequant scale on the output channel
+        smats = seg_j[None] * (scales[:, None, :] / n_planes)
+    return rows, wts, smats, K
+
+
 def sample_from_3dgrid(grid: jax.Array, coordinates: jax.Array) -> jax.Array:
     """(1|N, C, H, W, D) dense grid probe (ref renderer.py:60-73)."""
     N, M, _ = coordinates.shape

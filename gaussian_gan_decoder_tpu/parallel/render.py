@@ -52,6 +52,8 @@ def render_latency_sharded(
     truncation_psi: float = 1.0,
     axis: str = "points",
     shard_blend: bool = True,
+    shard_sort: bool = False,
+    bucket_cap: Optional[int] = None,
 ):
     """One 512^2 frame with the point axis sharded over `axis`.
 
@@ -62,11 +64,25 @@ def render_latency_sharded(
 
     shard_blend additionally runs the per-tile alpha blend sharded over
     the image's tile ROWS (each chip blends its slice of tiles from the
-    replicated sorted pair list and emits its image rows)."""
+    replicated sorted pair list and emits its image rows).
+
+    shard_sort shards the BINNING SORT too (the largest replicated cost,
+    ~6-10 ms at flagship): pairs stay on the chip that decoded their
+    gaussian, ONE local (tile, depth) lexsort doubles as the per-
+    destination bucketing (the tile-row owner is monotonic in the tile
+    id), fixed-capacity buckets ride ONE all_to_all over ICI, and each
+    chip lexsorts only its ~1/n_dev of pairs before blending its tile
+    rows. Total sort work ~2/n_dev of the replicated sort. `bucket_cap`
+    bounds the per-(source, dest) bucket; pairs beyond it are DROPPED
+    (like overflow_budget) — default 2x the balanced share. Requires
+    packed or bf16_colors payloads with tile-LOCAL coords? No: all
+    payload formats are position-independent per pair, so the exchange
+    is format-agnostic (fused_sort_key is resolved before this path)."""
     assert decoder.pallas_heads, "sharded latency path uses the fused kernel"
     from ..decoder.pallas_heads import PROJ_ROWS
     from ..splat.fast_raster import (
         _blend_and_assemble,
+        _build_pairs_any,
         bin_pairs_lexsort_ch,
         render_rows,
     )
@@ -82,6 +98,77 @@ def render_latency_sharded(
     bgv = jnp.asarray(bg, jnp.float32)
 
     planes, _ = decoder.synthesize_planes(params, z, camera_params, truncation_psi)
+
+    ts = raster_cfg.tile_size
+    grid_x, grid_y = cam.image_width // ts, cam.image_height // ts
+    if shard_sort and grid_y % n_dev == 0 and not raster_cfg.fused_sort_key:
+        T = grid_x * grid_y
+        t_per = T // n_dev
+        gy_local = grid_y // n_dev
+
+        def local_frame(params_l, planes_l, pts_l):
+            rows, layout = decoder.decode_project(params_l, planes_l, pts_l, cam)
+            r = {k: rows[v] for k, v in PROJ_ROWS.items()}
+            ch = dict(px=r["px"], py=r["py"], depth=r["depth"],
+                      radius_f=r["radius_f"], visible=r["visible"] > 0.5)
+            fields = [r["px"], r["py"], r["conic_a"], r["conic_b"],
+                      r["conic_c"], r["opac"], r["col_r"], r["col_g"],
+                      r["col_b"]]
+            ch, fields = jax.lax.optimization_barrier((ch, fields))
+            tile_key, qd, frep, n_rows, _nd = _build_pairs_any(
+                ch, fields, grid_x, grid_y, ts,
+                raster_cfg.static_copies,
+                max(raster_cfg.overflow_budget // n_dev, 8),
+                raster_cfg.bf16_colors, raster_cfg.packed_payloads)
+            # ONE local (tile, depth) lexsort over this chip's pairs —
+            # because the destination chip (= tile-row owner) is monotonic
+            # in the tile id, the sorted list IS the per-destination
+            # bucketing: bucket d = rows [bounds[d], bounds[d+1])
+            ops = jax.lax.sort([tile_key, qd] + list(frep), num_keys=2)
+            skey = ops[0]
+            P_loc = skey.shape[0]
+            cap = bucket_cap or min(P_loc, -(-4 * P_loc // n_dev))
+            bounds = jnp.searchsorted(
+                skey, jnp.arange(0, T + 1, t_per, dtype=jnp.int32)
+            ).astype(jnp.int32)
+
+            def windows(arr, fill):
+                arrp = jnp.concatenate(
+                    [arr, jnp.full((cap,), fill, arr.dtype)])
+                return jnp.stack([
+                    jax.lax.dynamic_slice(arrp, (bounds[d],), (cap,))
+                    for d in range(n_dev)])
+            # rows past a bucket's end carry tiles outside dest d's range
+            # (or the pad sentinel): the receiver's searchsorted window
+            # excludes them, so no masking is needed
+            exchanged = [
+                jax.lax.all_to_all(w, axis, split_axis=0, concat_axis=0)
+                for w in [windows(skey, T), windows(ops[1], 0)]
+                + [windows(o, 0.0) for o in ops[2:]]
+            ]
+            flat = [e.reshape(-1) for e in exchanged]
+            fin = jax.lax.sort(flat, num_keys=2)
+            fkey = fin[0]
+            ff = list(fin[2:])
+            lo = jax.lax.axis_index(axis).astype(jnp.int32) * t_per
+            starts = jnp.searchsorted(
+                fkey, lo + jnp.arange(t_per + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            attrs_t = jnp.concatenate(
+                [jnp.stack(ff, axis=0),
+                 jnp.zeros((n_rows - len(ff), fkey.shape[0]), jnp.float32)],
+                axis=0)
+            img_l, _ = _blend_and_assemble(
+                starts, attrs_t, grid_x, gy_local, ts, bgv, raster_cfg)
+            return img_l
+
+        img = jax.shard_map(
+            local_frame, mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )(params, planes, init_position)
+        return jnp.transpose(img, (2, 0, 1))
 
     layout_box = {}
 

@@ -297,6 +297,31 @@ def build_pairs_packed(
     return tile_key, qd, [f_pxy, f_cacb, f_cc, f_rg, f_bop], n_dropped
 
 
+def _build_pairs_any(
+    ch, fields, grid_x, grid_y, tile_size,
+    static_copies, overflow_budget, bf16_colors, packed_payloads,
+):
+    """Pair construction shared by the replicated binning
+    (bin_pairs_lexsort_ch) and the tile-sharded multi-chip binning
+    (parallel/render.py): -> (tile_key, qd, fields_rep, n_rows, n_dropped)
+    with the payload packing applied per the config flags."""
+    if packed_payloads:
+        tile_key, qd, fields_rep, n_dropped = build_pairs_packed(
+            ch, fields, grid_x, grid_y, tile_size, static_copies,
+            overflow_budget)
+        return tile_key, qd, fields_rep, 8, n_dropped
+    tile_key, qd, fields_rep, n_dropped = build_pairs_ch(
+        ch, fields, grid_x, grid_y, tile_size, static_copies,
+        overflow_budget)
+    if bf16_colors:
+        fields_rep = fields_rep[:5] + [
+            _bf16_pack_pair(fields_rep[6], fields_rep[7]),   # r | g
+            _bf16_pack_pair(fields_rep[8], fields_rep[5]),   # b | opacity
+        ]
+        return tile_key, qd, fields_rep, 8, n_dropped
+    return tile_key, qd, fields_rep, ROW, n_dropped
+
+
 def bin_pairs_lexsort_ch(
     ch: Dict[str, jax.Array],          # project_channels output
     fields,                            # 9 (N,) payload channels (blend ROW order)
@@ -313,11 +338,10 @@ def bin_pairs_lexsort_ch(
     fastest sort (2 keys + 5 payloads; 1 fused uint32 key + 5 with
     fused_sort_key — see RasterizeConfig)."""
     T = grid_x * grid_y
+    tile_key, qd, fields_rep, n_rows, n_dropped = _build_pairs_any(
+        ch, fields, grid_x, grid_y, tile_size, static_copies,
+        overflow_budget, bf16_colors, packed_payloads)
     if packed_payloads:
-        tile_key, qd, fields_rep, n_dropped = build_pairs_packed(
-            ch, fields, grid_x, grid_y, tile_size, static_copies,
-            overflow_budget)
-        n_rows = 8
         if fused_sort_key:
             # tile fits 11 bits (T <= 1024 incl. the T sentinel); keep the
             # top 21 bits of the positive-f32 depth pattern (sign+exp+12
@@ -336,18 +360,6 @@ def bin_pairs_lexsort_ch(
                 sorted_tile, jnp.arange(T + 1, dtype=jnp.int32)
             ).astype(jnp.int32)
             return tile_starts, sorted_attrs_t, n_dropped
-    else:
-        tile_key, qd, fields_rep, n_dropped = build_pairs_ch(
-            ch, fields, grid_x, grid_y, tile_size, static_copies,
-            overflow_budget)
-        if bf16_colors:
-            fields_rep = fields_rep[:5] + [
-                _bf16_pack_pair(fields_rep[6], fields_rep[7]),   # r | g
-                _bf16_pack_pair(fields_rep[8], fields_rep[5]),   # b | opacity
-            ]
-            n_rows = 8
-        else:
-            n_rows = ROW
 
     # -- one lexicographic sort: (tile, depth-bits) + the live payloads -------
     sorted_ops = _sort_pairs(tile_key, qd, tuple(fields_rep))

@@ -21,7 +21,12 @@ ITERS = int(os.environ.get("PROF_ITERS", 10))
 
 
 def main():
-    dec = flagship_decoder(gen=flagship_generator())
+    dec = flagship_decoder(
+        gen=flagship_generator(),
+        fused_sampling=bool(int(os.environ.get("FUSED_SAMPLING", "0"))))
+    if os.environ.get("FUSED_LERP"):
+        import dataclasses
+        dec = dataclasses.replace(dec, fused_lerp=os.environ["FUSED_LERP"])
     params = dec.init(jax.random.PRNGKey(0),
                       generator_params=dec.generator.init(jax.random.PRNGKey(1)))
     cp, cam2world = default_camera_params()
@@ -96,6 +101,33 @@ def main():
                 n_planes, CD // D, D, H, W)
             e, _NY = build_brick_table(feats5)
             return jnp.sum(e[:, ::8193, ::129].astype(jnp.float32))
+        if stage == "fused_in":
+            # XLA side of the gather-fused decode: takes + channel-major
+            # weights + aux staging, all sum-consumed (the takes cannot be
+            # slimmed by a full sum)
+            planes, _ = dec.synthesize_planes(params, z, cp, 1.0)
+            g = dec.generator
+            from gaussian_gan_decoder_tpu.neuralfield.renderer import (
+                sample_fused_inputs)
+            Mpad = -(-M // 1024) * 1024
+            rows_in, wts, smats, K = sample_fused_inputs(
+                g.renderer.plane_axes, planes, init_pos[None],
+                box_warp=g.rk["box_warp"], triplane_depth=g.triplane_depth,
+                brick_dtype=dec._brick_dtype, pallas_build=True,
+                pad_to=Mpad)
+            from gaussian_gan_decoder_tpu.decoder.pallas_heads import (
+                _build_staging)
+            cond = (dec.embedder(init_pos) if dec.use_xyz_embedding
+                    else init_pos)
+            aux, _ = _build_staging(
+                jnp.zeros((M, 32), jnp.float32), cond, init_pos,
+                [(n, d) for n, d in
+                 __import__("gaussian_gan_decoder_tpu.decoder.heads",
+                            fromlist=["_CHAINS"])._CHAINS[dec.decoder_type]],
+                1024, jnp.bfloat16)
+            return (sum(jnp.sum(r.astype(jnp.float32)) for r in rows_in)
+                    + jnp.sum(wts) + jnp.sum(smats)
+                    + jnp.sum(aux.astype(jnp.float32)))
         if stage == "stagein":
             # mean + embedder + staging concat (the fused-heads kernel input)
             planes, _ = dec.synthesize_planes(params, z, cp, 1.0)

@@ -139,6 +139,97 @@ def test_decode_project_matches_heads_plus_projection():
         np.testing.assert_allclose(got, want, atol=1e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("depth,brick_dtype,lerp_mode", [
+    (3, None, "bcast"), (3, jnp.bfloat16, "bcast"), (3, jnp.int8, "bcast"),
+    (1, None, "bcast"), (3, jnp.int8, "dots"), (1, None, "dots"),
+])
+def test_decode_project_fused_sampling_parity(depth, brick_dtype, lerp_mode):
+    """Gather-fused kernel (lerp/dequant/mean reconstructed in VMEM from
+    raw brick rows) == sample_from_planes + decode_project_pallas on the
+    SAME table dtype. 'bcast' lerp accumulates f32 (tight); 'dots' runs
+    the expand/segment-sum MXU form in bf16 (loose: 2^-8 weight
+    rounding)."""
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.decoder.pallas_heads import (
+        decode_project_pallas, decode_project_pallas_fused)
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.neuralfield.renderer import (
+        generate_planes, sample_from_planes, sample_fused_inputs)
+
+    C, H = 32, 16
+    planes = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 3, C * depth, H, H), jnp.float32)
+    M, block = 300, 128
+    Mpad = -(-M // block) * block
+    # spread positions past the box edge to exercise the validity masks
+    pos = (jax.random.uniform(jax.random.PRNGKey(2), (M, 3)) - 0.5) * 1.3
+    axes = generate_planes("panohead")
+    box_warp = 1.0
+
+    gen = flagship_generator()
+    dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed")
+    params = dec.init(jax.random.PRNGKey(0))
+    chain = _CHAINS["sequential_reversed"]
+    hp = {name: params[name] for name, _ in chain}
+    _, c2w = default_camera_params()
+    cam = make_camera(64, jnp.asarray(0.227), c2w)
+
+    feats = sample_from_planes(
+        axes, planes, pos[None], box_warp=box_warp, triplane_depth=depth,
+        brick_dtype=brick_dtype)[0]
+    fm = jnp.mean(feats, axis=0).astype(jnp.float32)
+    ref_rows, layout_ref = decode_project_pallas(
+        hp, chain, fm, pos, pos, dec.scale_offset, cam=cam, n_points=M,
+        compute_dtype=jnp.float32, block=block, interpret=True)
+
+    rows_in, wts, smats, K = sample_fused_inputs(
+        axes, planes, pos[None], box_warp=box_warp, triplane_depth=depth,
+        brick_dtype=brick_dtype, pad_to=Mpad)
+    assert K == (8 if depth > 1 else 4)
+    got_rows, layout = decode_project_pallas_fused(
+        hp, chain, rows_in, wts, smats, K, pos, pos, dec.scale_offset,
+        cam=cam, n_points=M, compute_dtype=jnp.float32, block=block,
+        interpret=True, lerp_mode=lerp_mode)
+    assert layout == layout_ref
+
+    atol = (3e-2 if brick_dtype == jnp.bfloat16 or lerp_mode == "dots"
+            else 1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got_rows[:, :M]), np.asarray(ref_rows[:, :M]), atol=atol)
+
+
+def test_decoder_fused_sampling_flag_routes():
+    """GaussianDecoder(fused_sampling=True).decode_project == the plain
+    decode_project at the decoder level (same planes, same params)."""
+    import dataclasses
+
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+
+    gen = flagship_generator()
+    dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed",
+                          pallas_heads=True, int8_sampling=True)
+    params = dec.init(jax.random.PRNGKey(0))
+    M = 200
+    planes = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, 3, 32 * gen.triplane_depth, 32, 32), jnp.float32)
+    pos = (jax.random.uniform(jax.random.PRNGKey(2), (M, 3)) - 0.5) * 0.4
+    _, c2w = default_camera_params()
+    cam = make_camera(64, jnp.asarray(0.227), c2w)
+
+    rows_a, layout_a = dec.decode_project(params, planes, pos, cam)
+    dec_f = dataclasses.replace(dec, fused_sampling=True)
+    rows_b, layout_b = dec_f.decode_project(params, planes, pos, cam)
+    assert layout_a == layout_b
+    np.testing.assert_allclose(
+        np.asarray(rows_b[:, :M]), np.asarray(rows_a[:, :M]), atol=1e-3)
+
+
 def test_heads_vjp_matches_xla_grads():
     """Custom-VJP fused heads chain: gradients match jax.grad through the
     XLA reference chain (weights, biases, feats, cond, init) to ~1e-4."""

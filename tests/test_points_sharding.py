@@ -84,3 +84,48 @@ def test_render_latency_sharded_matches_single_device(shard_blend):
     mse = ((a - b) ** 2).mean()
     psnr = 10 * np.log10(1.0 / max(mse, 1e-14))
     assert psnr > 60.0, psnr
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual multi-device")
+def test_render_latency_shard_sort_matches_single_device():
+    """Tile-range-sharded binning sort (local bucket sort + all_to_all +
+    per-chip range sort, parallel/render.py shard_sort) == the replicated
+    single-device frame. Lossless bucket_cap: no exchange drops."""
+    from gaussian_gan_decoder_tpu.flagship import (
+        decode_and_render, default_camera_params, flagship_decoder)
+    from gaussian_gan_decoder_tpu.parallel import render_latency_sharded
+    from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig
+
+    n_dev = min(len(jax.devices()), 8)
+    mesh = make_mesh(n_dev, ("points",))
+    gen = tiny_generator("panohead")
+    dec = flagship_decoder(gen=gen)
+    params = dec.init(jax.random.PRNGKey(0),
+                      generator_params=gen.init(jax.random.PRNGKey(1)))
+    cp, c2w = default_camera_params()
+    m = 80 * n_dev
+    pts = (jax.random.uniform(jax.random.PRNGKey(2), (m, 3)) - 0.5) * 0.4
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, gen.z_dim))
+    rcfg = RasterizeConfig(tile_size=16, max_pairs=2 ** 12, tile_capacity=64,
+                           chunk=32, static_copies=2, overflow_budget=2 ** 10,
+                           packed_payloads=True)
+    fov = jnp.asarray(0.227)
+
+    # 128^2 so grid_y (8) is divisible by n_dev — the shard_sort branch
+    # requires row-aligned tile ranges (falls back to replicated otherwise)
+    size = 128
+    assert (size // rcfg.tile_size) % n_dev == 0
+    ref, _ = decode_and_render(dec, params, z, cp, c2w, pts, fov,
+                               image_size=size, raster_cfg=rcfg,
+                               backend="pallas")
+    # bucket_cap=None exercises the default heuristic too; the lossless
+    # cap (every local pair fits any one bucket) is the parity guarantee
+    for cap in (None, 2 * 80 + 2 ** 10 // n_dev):
+        img = render_latency_sharded(
+            mesh, dec, params, z, cp, c2w, pts, fov, image_size=size,
+            raster_cfg=rcfg, shard_sort=True, bucket_cap=cap)
+        a, b = np.asarray(ref), np.asarray(img)
+        assert b.shape == (3, size, size)
+        mse = ((a - b) ** 2).mean()
+        psnr = 10 * np.log10(1.0 / max(mse, 1e-14))
+        assert psnr > 60.0, (cap, psnr)
