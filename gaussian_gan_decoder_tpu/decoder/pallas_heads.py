@@ -435,8 +435,11 @@ def _sample_heads_project_kernel(
         expander = (lane_g == row_g).astype(jnp.bfloat16)
         for p, r_ref in enumerate((rows0, rows1, rows2)):
             w8 = wT[:, p * K:(p + 1) * K].astype(jnp.bfloat16)
+            # Mosaic requires 32-bit matmul accumulators — accumulate f32,
+            # round once to bf16 for the product
             wrow = jnp.dot(w8, expander,
-                           preferred_element_type=jnp.bfloat16)
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
             prod = r_ref[:].astype(jnp.bfloat16) * wrow
             acc = acc + jnp.dot(prod, smats_ref[p].astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)

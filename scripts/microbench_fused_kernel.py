@@ -79,6 +79,29 @@ def main():
         run(f"fused kernel, prebuilt inputs, lerp={mode}", body,
             *rows, wts, smats, init)
 
+    # isolate the gather: same brick-row takes feeding a sum (fusible)
+    # vs feeding the kernel (must materialise) — flagship-sized table
+    NYT = 260
+    table = jax.random.randint(jax.random.PRNGKey(8), (3, 4 * NYT * 257, K * C),
+                               -127, 128, jnp.int8)
+    idx = jax.random.randint(jax.random.PRNGKey(9), (3, Mpad), 0,
+                             4 * NYT * 257, jnp.int32)
+
+    def takes_sum(table_, idx_):
+        return sum(jnp.sum(jnp.take(table_[p], idx_[p], axis=0)
+                           .astype(jnp.float32)) for p in range(3))
+    run("3x brick-row takes -> sum (fusible)", takes_sum, table, idx)
+
+    def takes_kernel(table_, idx_, wts_, smats_, init_):
+        r = [jnp.take(table_[p], idx_[p], axis=0) for p in range(3)]
+        out, _ = ph.decode_project_pallas_fused(
+            hp, chain_spec, r, wts_, smats_, K, init_, init_, -2.5, cam, M,
+            compute_dtype=jnp.bfloat16, block=BLOCK, gelu="poly",
+            lerp_mode="dots")
+        return jnp.sum(out[:, :8])
+    run("3x takes -> fused kernel (materialised)", takes_kernel,
+        table, idx, wts, smats, init)
+
     # reference: unfused kernel on prebuilt staging (same harness)
     fm = jax.random.normal(jax.random.PRNGKey(7), (M, C), jnp.float32)
 
