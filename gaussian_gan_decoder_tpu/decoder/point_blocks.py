@@ -1,0 +1,224 @@
+"""Static point-block packing for the slab-gather decode path.
+
+The flagship inference frame decodes a FIXED template of points every
+frame (only the latent changes; ref main/load_decoder.py:12-26 renders
+from the checkpoint's saved positions). The tri-grid gather is therefore
+a STATIC access pattern — instead of 1.5M random HBM row-gathers per
+frame (~9 ns/row, ~17x off bandwidth), we Morton-sort the template once
+and pack consecutive points into blocks whose per-plane tri-grid
+footprint fits a fixed slab window (DZW z-slices x EY rows x EX cells).
+The decode kernel then DMAs 3 tiny slabs per block and performs the
+gather+trilinear-lerp as dense MXU contractions (decoder/pallas_heads.py
+decode_project_pallas_slab).
+
+Point order is irrelevant downstream (gaussians are depth-sorted by the
+rasterizer), so the permutation is applied once to the template and
+never undone on the render path.
+
+Index/weight semantics mirror neuralfield/renderer.py _corner_weights_1d
+exactly (grid_sample align_corners=False + zeros padding, validity
+folded into the corner weights); quantization scale/mean folding follows
+build_plane_table's int8 contract.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+C = 32           # feature channels per plane
+DZW = 4          # slab z window (DZW * EY must be 128: one MXU K-tile)
+EY = 32          # slab y rows
+Y_ALIGN = 8      # y origin alignment (int8 DMA sublane granule)
+X_ALIGN = 4      # x origin alignment (4 cells * 32 ch = 128 lanes)
+
+
+def _corner_1d(g: np.ndarray, size: int):
+    """Mirror renderer._corner_weights_1d: padded-axis index + the two
+    validity-folded corner weights."""
+    x = ((g + 1.0) * size - 1.0) * 0.5
+    x0 = np.floor(x).astype(np.int64)
+    w1 = (x - x0).astype(np.float32)
+    v0 = (x0 >= 0) & (x0 < size)
+    v1 = (x0 + 1 >= 0) & (x0 + 1 < size)
+    idxp = np.clip(x0 + 1, 0, size)
+    return idxp, ((1.0 - w1) * v0).astype(np.float32), (w1 * v1).astype(np.float32)
+
+
+def _morton3(ix, iy, iz, bits=9):
+    code = np.zeros(ix.shape, np.int64)
+    for b in range(bits):
+        code |= ((ix >> b) & 1).astype(np.int64) << (3 * b)
+        code |= ((iy >> b) & 1).astype(np.int64) << (3 * b + 1)
+        code |= ((iz >> b) & 1).astype(np.int64) << (3 * b + 2)
+    return code
+
+
+class _RangeMinMax:
+    """O(1) min/max over index ranges (sparse table) for the greedy
+    block search."""
+
+    def __init__(self, v: np.ndarray):
+        n = len(v)
+        k = max(1, int(np.floor(np.log2(max(n, 1)))) + 1)
+        self.mins = [v]
+        self.maxs = [v]
+        for j in range(1, k):
+            half = 1 << (j - 1)
+            prev_min, prev_max = self.mins[-1], self.maxs[-1]
+            if len(prev_min) <= half:
+                break
+            self.mins.append(np.minimum(prev_min[:-half], prev_min[half:]))
+            self.maxs.append(np.maximum(prev_max[:-half], prev_max[half:]))
+
+    def query(self, lo: int, hi: int):  # [lo, hi)
+        j = max(0, (hi - lo).bit_length() - 1)
+        j = min(j, len(self.mins) - 1)
+        half = 1 << j
+        a, b = lo, hi - half
+        return (min(self.mins[j][a], self.mins[j][b]),
+                max(self.maxs[j][a], self.maxs[j][b]))
+
+
+@dataclass(frozen=True)
+class PointBlocks:
+    """Static packing of a point template for the slab decode kernel."""
+    perm: np.ndarray        # (M,) original index of each packed slot's point
+    positions: np.ndarray   # (Mpad, 3) f32 permuted + zero-padded template
+    origins: np.ndarray     # (n_blocks, 12) i32 (zt, yt, xt) per plane
+    idxw: np.ndarray        # (32, Mpad) f32 per-point idx/weight rows
+    valid: np.ndarray       # (Mpad,) f32 1.0 real / 0.0 pad
+    n_points: int           # real point count M
+    block: int
+
+    @property
+    def n_blocks(self) -> int:
+        return self.origins.shape[0]
+
+    @property
+    def m_padded(self) -> int:
+        return self.positions.shape[0]
+
+
+def build_point_blocks(
+    init_position: np.ndarray,    # (M, 3) world coords
+    plane_axes: np.ndarray,       # (3, 3, 3) generate_planes() output
+    box_warp: float,
+    sizes: tuple,                 # (D, H, W) tri-grid dims
+    block: int = 1024,
+    ey: int = EY,
+    ex: int = 16,
+) -> PointBlocks:
+    """Morton-sort + greedy-pack the template into slab-fitting blocks.
+
+    Per plane p the padded-axis indices (ix, iy, iz) of every point must
+    fit a window: z in [zt, zt+DZW-1] (zt <= DZ-DZW), y in
+    [8*yt, 8*yt+ey-1], x in [4*xt, 4*xt+ex-1], with room for the +1
+    corner. The greedy walk binary-searches the longest sorted run that
+    fits (O(1) range-min/max), so worst case it splits at Morton
+    boundary crossings; pads each block to `block` slots."""
+    D, H, W = sizes
+    M = init_position.shape[0]
+    pos = np.asarray(init_position, np.float32)
+    inv = np.linalg.inv(plane_axes).astype(np.float32)  # (3, 3, 3)
+    g = (2.0 / box_warp) * pos                          # (M, 3) in [-1, 1]
+
+    ix = np.zeros((3, M), np.int64)
+    iy = np.zeros((3, M), np.int64)
+    iz = np.zeros((3, M), np.int64)
+    wts = np.zeros((3, 6, M), np.float32)  # (wxa wxb wya wyb wza wzb)
+    for p in range(3):
+        proj = g @ inv[p]                               # (M, 3)
+        ix[p], wts[p, 0], wts[p, 1] = _corner_1d(proj[:, 0], W)
+        iy[p], wts[p, 2], wts[p, 3] = _corner_1d(proj[:, 1], H)
+        iz[p], wts[p, 4], wts[p, 5] = _corner_1d(proj[:, 2], D)
+
+    # Morton order on the clamped world grid (the SAME clamped indices
+    # that drive the windows, so clustering bounds the windows)
+    gq = np.clip(((g + 1.0) * 0.5 * (W - 1)).astype(np.int64), 0, W - 1)
+    order = np.argsort(_morton3(gq[:, 0], gq[:, 1], gq[:, 2]),
+                       kind="stable")
+
+    ixs, iys, izs = ix[:, order], iy[:, order], iz[:, order]
+    rmm = [[_RangeMinMax(a[p]) for a in (ixs, iys, izs)] for p in range(3)]
+
+    DZ = D + 2
+    YP = _round_up(H + 2, Y_ALIGN)
+    XP = _round_up(W + 2, X_ALIGN)
+
+    def fits(lo: int, hi: int) -> bool:
+        for p in range(3):
+            xmin, xmax = rmm[p][0].query(lo, hi)
+            x0 = min((xmin // X_ALIGN) * X_ALIGN, XP - ex)
+            if xmax + 1 > x0 + ex - 1:
+                return False
+            ymin, ymax = rmm[p][1].query(lo, hi)
+            y0 = min((ymin // Y_ALIGN) * Y_ALIGN, YP - ey)
+            if ymax + 1 > y0 + ey - 1:
+                return False
+            zmin, zmax = rmm[p][2].query(lo, hi)
+            zt = min(zmin, DZ - DZW)
+            if zmax + 1 > zt + DZW - 1:
+                return False
+        return True
+
+    starts = []
+    ends = []
+    lo = 0
+    while lo < M:
+        # largest hi in (lo, lo+block] with fits(lo, hi)
+        hi_max = min(lo + block, M)
+        if fits(lo, hi_max):
+            hi = hi_max
+        else:
+            a, b = lo + 1, hi_max       # fits(lo, a) trivially true
+            while a < b - 1:
+                mid = (a + b) // 2
+                if fits(lo, mid):
+                    a = mid
+                else:
+                    b = mid
+            hi = a
+        starts.append(lo)
+        ends.append(hi)
+        lo = hi
+
+    nb = len(starts)
+    Mpad = nb * block
+    perm = order
+    positions = np.zeros((Mpad, 3), np.float32)
+    idxw = np.zeros((32, Mpad), np.float32)
+    valid = np.zeros((Mpad,), np.float32)
+    origins = np.zeros((nb, 12), np.int32)
+    slot_of = np.zeros(M, np.int64)
+    for b, (s, e) in enumerate(zip(starts, ends)):
+        sl = slice(b * block, b * block + (e - s))
+        slot_of[s:e] = np.arange(b * block, b * block + (e - s))
+        positions[sl] = pos[order[s:e]]
+        valid[sl] = 1.0
+        for p in range(3):
+            xmin = ixs[p, s:e].min()
+            ymin = iys[p, s:e].min()
+            zmin = izs[p, s:e].min()
+            x0 = min((xmin // X_ALIGN) * X_ALIGN, XP - ex)
+            y0 = min((ymin // Y_ALIGN) * Y_ALIGN, YP - ey)
+            zt = min(zmin, DZ - DZW)
+            origins[b, 3 * p:3 * p + 3] = (zt, y0 // Y_ALIGN, x0 // X_ALIGN)
+            c0 = p * 9
+            idxw[c0 + 0, sl] = ixs[p, s:e]
+            idxw[c0 + 1, sl] = wts[p, 0, order[s:e]]
+            idxw[c0 + 2, sl] = wts[p, 1, order[s:e]]
+            idxw[c0 + 3, sl] = iys[p, s:e]
+            idxw[c0 + 4, sl] = wts[p, 2, order[s:e]]
+            idxw[c0 + 5, sl] = wts[p, 3, order[s:e]]
+            idxw[c0 + 6, sl] = izs[p, s:e]
+            idxw[c0 + 7, sl] = wts[p, 4, order[s:e]]
+            idxw[c0 + 8, sl] = wts[p, 5, order[s:e]]
+
+    return PointBlocks(
+        perm=perm, positions=positions, origins=origins, idxw=idxw,
+        valid=valid, n_points=M, block=block)
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
