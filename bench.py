@@ -72,10 +72,33 @@ def main():
     if overrides:
         rcfg = _dc.replace(rcfg, **overrides)
 
-    def frame(params, z):
+    # slab-gather decode: Morton-pack the static template once, decode
+    # each frame with the slab kernel (no brick table, no HBM row gather)
+    slab_ctx = None
+    if os.environ.get("BENCH_SLAB", "").strip().lower() not in ("", "0", "false", "no"):
+        import dataclasses as _dcs2
+
+        dec = _dcs2.replace(dec, slab_sampling=True)
+        slab_ctx = dec.make_slab_context(init_pos)
+    # the ~440 MB wzy must reach jit as an ARGUMENT (constant-embedded
+    # HLO hangs the tunnel compile helper); statics stay in the closure
+    slab_arr = (None if slab_ctx is None else
+                {k: slab_ctx[k] for k in ("origins", "wzy", "axs", "aux")})
+
+    def _ctx(sa):
+        if sa is None:
+            return None
+        from gaussian_gan_decoder_tpu.utils import EasyDict
+
+        merged = EasyDict(slab_ctx)
+        merged.update(sa)
+        return merged
+
+    def frame(params, z, sa=None):
         img, _ = decode_and_render(
             dec, params, z, cp, cam2world, init_pos, fov,
             image_size=image_size, raster_cfg=rcfg, backend=backend,
+            slab_ctx=_ctx(sa),
         )
         return jnp.sum(img)  # scalar checksum forces full execution
 
@@ -87,22 +110,23 @@ def main():
                 decode_and_render_stream)
 
             @jax.jit
-            def frame_stream(params, zs):
+            def frame_stream(params, zs, sa):
                 # backbone batched fb at a time, per-frame tail sequential
                 # (memory) — still iters distinct frames
                 imgs = decode_and_render_stream(
                     dec, params, zs, cp, cam2world, init_pos, fov,
                     image_size=image_size, raster_cfg=rcfg, frame_batch=fb,
+                    slab_ctx=_ctx(sa),
                 )
                 return jnp.sum(imgs[:, :, ::257, ::257])
         else:
             @jax.jit
-            def frame_stream(params, zs):
+            def frame_stream(params, zs, sa):
                 # all frames in ONE device program: measures frames/sec/
                 # chip (per-call host/tunnel dispatch latency is a harness
                 # artifact, not renderer throughput)
                 def body(i, acc):
-                    return acc + frame(params, zs[i])
+                    return acc + frame(params, zs[i], sa)
 
                 return jax.lax.fori_loop(0, iters, body, 0.0)
         return frame_stream
@@ -121,9 +145,10 @@ def main():
                 rcfg = dataclasses.replace(
                     rcfg, packed_payloads=False, fused_sort_key=False)
             candidate = make_stream(fb)
-            float(candidate(params, zs))  # compile + warmup
+            float(candidate(params, zs, slab_arr))  # compile + warmup
             frame_stream = candidate
-            path_ran = f"frame_batch={fb},packed={packed}"
+            path_ran = (f"frame_batch={fb},packed={packed}"
+                        + (",slab" if slab_ctx is not None else ""))
             break
         except Exception as e:  # noqa: BLE001
             print(f"frame_batch={fb} packed={packed} path failed "
@@ -131,7 +156,7 @@ def main():
     assert frame_stream is not None, "no benchmark path compiled"
 
     t0 = time.perf_counter()
-    float(frame_stream(params, zs))
+    float(frame_stream(params, zs, slab_arr))
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 
@@ -140,7 +165,7 @@ def main():
     _, _, aux = decode_and_render(
         dec, params, zs[0], cp, cam2world, init_pos, fov,
         image_size=image_size, raster_cfg=rcfg, backend=backend,
-        return_aux=True,
+        return_aux=True, slab_ctx=slab_ctx,
     )
     nd = int(aux["n_dropped"])
     if nd > 0:

@@ -120,6 +120,11 @@ class GaussianDecoder:
     # mean->concat chain (~+8 ms/frame at flagship)
     fused_lerp: str = "dots"      # in-kernel lerp form: 'dots' (MXU
     # expand+segment-sum) | 'bcast' (VPU per-corner broadcasts)
+    slab_sampling: bool = False   # slab-gather decode: Morton-pack the
+    # STATIC template into slab-fitting blocks once (make_slab_context),
+    # then decode each frame with ONE kernel that DMAs raw int8 volume
+    # slabs and lerps on the MXU — no brick table, no HBM row gather
+    # (decoder/point_blocks.py + pallas_heads.decode_project_pallas_slab)
 
     @property
     def _brick_dtype(self):
@@ -302,14 +307,85 @@ class GaussianDecoder:
         planes, _ = self.synthesize_planes(params, z, gan_camera_params, truncation_psi)
         return self.decode_packed(params, planes, init_position)
 
-    def decode_project(self, params: Params, planes, init_position, cam):
+    # -- slab-gather static context (see point_blocks.py) ---------------------
+
+    def make_slab_context(self, init_position, block: int = 1024):
+        """One-time (per template) packing for the slab decode path: call
+        OUTSIDE jit with a concrete (M, 3) template. Returns an EasyDict of
+        device arrays decode_project consumes via slab_ctx=."""
+        import numpy as np
+
+        from .pallas_heads import STAGE, VALID_COL, _build_staging
+        from .point_blocks import build_point_blocks, build_slab_weights
+
+        g = self.generator
+        assert g.triplane_depth > 1, "slab decode: tri-grid generators only"
+        pb = build_point_blocks(
+            np.asarray(init_position), g.renderer.plane_axes,
+            box_warp=g.rk["box_warp"],
+            sizes=(g.triplane_depth, int(g.rk["triplane_size"]),
+                   int(g.rk["triplane_size"])),
+            block=block,
+        )
+        if pb.m_padded > 2 * pb.n_points:
+            import sys
+            print(f"WARNING: slab packing {pb.m_padded / pb.n_points:.1f}x "
+                  f"padded ({pb.n_blocks} blocks for {pb.n_points} points) — "
+                  "template density too low for the slab windows; the "
+                  "brick-table path is likely faster", file=sys.stderr)
+        wzy, axs = build_slab_weights(pb)
+        positions = jnp.asarray(pb.positions)
+        cond = (self.embedder(positions) if self.use_xyz_embedding
+                else positions)
+        chain_spec = _CHAINS[self.decoder_type]
+        dtype = jnp.bfloat16 if self.heads_bf16 else jnp.float32
+        aux, _ = _build_staging(
+            jnp.zeros((pb.m_padded, 32), jnp.float32), cond, positions,
+            chain_spec, pb.block, dtype)
+        aux = aux.at[:, VALID_COL].set(jnp.asarray(pb.valid, dtype))
+        # inv_slot[original point index] = packed slot index: unpermutes
+        # slab-path outputs back to template order (rows[:, inv_slot])
+        inv_slot = np.zeros(pb.n_points, np.int32)
+        inv_slot[pb.perm] = np.where(pb.valid > 0)[0]
+        return EasyDict(
+            origins=jnp.asarray(pb.origins), wzy=wzy, axs=axs, aux=aux,
+            positions=positions, perm=pb.perm, valid=jnp.asarray(pb.valid),
+            inv_slot=jnp.asarray(inv_slot),
+            n_points=pb.n_points, block=pb.block, ey=pb.ey, ex=pb.ex,
+            cond_dim=int(cond.shape[1]), m_padded=pb.m_padded,
+        )
+
+    def decode_project(self, params: Params, planes, init_position, cam,
+                       slab_ctx=None):
         """Fused heads + EWA projection -> (rows (NROWS, Mpad), layout).
 
         Channel-major: rows[0:16] raw head outputs, rows[16:28] the
-        screen-space quantities (splat/fast_raster.py render_rows)."""
+        screen-space quantities (splat/fast_raster.py render_rows).
+
+        slab_ctx (make_slab_context output) switches to the slab-gather
+        kernel; rows are then in the ctx's PERMUTED/padded point order
+        (irrelevant to the rasterizer — it depth-sorts; pad slots carry
+        visible=0)."""
         from .pallas_heads import decode_project_pallas
 
         g = self.generator
+        if slab_ctx is not None:
+            from ..neuralfield.renderer import build_slab_volume
+            from .pallas_heads import decode_project_pallas_slab
+
+            vol, scales = build_slab_volume(planes, g.triplane_depth)
+            return decode_project_pallas_slab(
+                {name: params[name] for name, _ in _CHAINS[self.decoder_type]},
+                _CHAINS[self.decoder_type],
+                slab_ctx.origins, slab_ctx.wzy, slab_ctx.axs, slab_ctx.aux,
+                vol, scales, self.scale_offset,
+                cam=cam, P=slab_ctx.cond_dim,
+                ey=slab_ctx.ey, ex=slab_ctx.ex,
+                parallel=(self.decoder_type == "parallel"),
+                compute_dtype=jnp.bfloat16 if self.heads_bf16 else jnp.float32,
+                block=slab_ctx.block,
+                gelu=self.gelu,
+            )
         if self.fused_sampling:
             from ..neuralfield.renderer import sample_fused_inputs
             from .pallas_heads import decode_project_pallas_fused

@@ -606,3 +606,195 @@ def decode_project_pallas_fused(
         interpret=interpret,
     )(aux, rows[0], rows[1], rows[2], wts_cm, smats, *weights, wv, pj, consts)
     return out, layout
+
+
+# ---------------------------------------------------------------------------
+# v3: slab-gather decode — no brick table, no HBM row gather
+# ---------------------------------------------------------------------------
+
+VALID_COL = 123  # staging column carrying the pad-slot mask (1 real / 0 pad)
+
+
+def _slab_heads_project_kernel(
+    origins,     # (nb, 12) i32 scalar-prefetch: (zt, yt, xt) per plane
+    wzy_in,      # (3, BLK, KR) bf16 static (z,y) weight-matrix block
+    axs_in,      # (BLK, 64) bf16 static x corner weights [p*EX:(p+1)*EX)
+    aux_in,      # (BLK, 128) staging with fm columns ZERO, valid at col 123
+    seg,         # (3, EXC, C) bf16 x-segment matrix (int8 scale / 3 folded)
+    vol,         # (3, DZ, YP, XP*C) int8 ANY — manual slab DMA
+    w1, b1, w2, b2, w3, b3, w4, b4,
+    wv_ref, pj_ref, consts_ref,
+    out_ref,     # (NROWS, BLK)
+    slab,        # scratch (2, 3, DZW, EY, EXC) int8
+    sems,        # scratch DMA sems (2, 3)
+    x_ref, o16_ref,
+    *,
+    dzw: int, ey: int, exc: int, C: int, y_align: int,
+    **kw,
+):
+    """Slab-gather decode: the template is STATIC across frames, so points
+    are Morton-packed into blocks whose tri-grid footprint fits a fixed
+    (dzw, ey, ex)-cell slab per plane (decoder/point_blocks.py). Per block
+    the kernel DMAs 3 raw slabs (double-buffered) and reconstructs
+    fm = mean-over-planes trilinear sample as MXU contractions with
+    PREBUILT block-local weight matrices — no brick table build and no
+    ~9 ns/row HBM row-gather (the XLA gather runs ~17x off bandwidth;
+    slabs stream at DMA rate). Then the shared chain+projection tail."""
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    block = kw["block"]
+
+    def dma(b, slot, p):
+        zt = origins[b, 3 * p]
+        yt = origins[b, 3 * p + 1]
+        xt = origins[b, 3 * p + 2]
+        return pltpu.make_async_copy(
+            vol.at[p, pl.ds(zt, dzw), pl.ds(yt * y_align, ey),
+                   pl.ds(xt * 128, exc)],
+            slab.at[slot, p],
+            sems.at[slot, p],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for p in range(3):
+            dma(0, 0, p).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        for p in range(3):
+            dma(i + 1, (i + 1) % 2, p).start()
+
+    slot = i % 2
+    for p in range(3):
+        dma(i, slot, p).wait()
+
+    kr = dzw * ey
+    ex = exc // C
+    # x corner -> lane-group expander E[x, x*C+j] = 1 (iota constant)
+    xeiota = ((jax.lax.broadcasted_iota(jnp.int32, (ex, exc), 1) // C)
+              == jax.lax.broadcasted_iota(jnp.int32, (ex, exc), 0)
+              ).astype(jnp.bfloat16)
+    acc = jnp.zeros((block, C), jnp.float32)
+    for p in range(3):
+        sl = slab[slot, p].reshape(kr, exc).astype(jnp.bfloat16)
+        # (z,y) contraction: 4-nonzero-per-row static weight matrix on MXU
+        t = jnp.dot(wzy_in[p], sl, preferred_element_type=jnp.float32)
+        ax = jnp.dot(axs_in[:, p * ex:(p + 1) * ex], xeiota,
+                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        prod = t.astype(jnp.bfloat16) * ax
+        # x contraction + int8 dequant + plane mean via the segment matrix
+        acc = acc + jnp.dot(prod, seg[p],
+                            preferred_element_type=jnp.float32)
+
+    x_ref[:] = aux_in[:]
+    x_ref[:, 0:C] = acc.astype(x_ref.dtype)
+    _chain_project_body(
+        x_ref, o16_ref, out_ref, w1, b1, w2, b2, w3, b3, w4, b4,
+        wv_ref, pj_ref, consts_ref, **kw)
+    # pad slots decode garbage at the origin — cull them from the raster
+    valid = jnp.transpose(aux_in[:, VALID_COL:VALID_COL + 1]
+                          .astype(jnp.float32))          # (1, BLK)
+    out_ref[PROJ_ROWS["visible"], :] = out_ref[PROJ_ROWS["visible"], :] * valid[0]
+    out_ref[PROJ_ROWS["opac"], :] = out_ref[PROJ_ROWS["opac"], :] * valid[0]
+    out_ref[PROJ_ROWS["radius_f"], :] = out_ref[PROJ_ROWS["radius_f"], :] * valid[0]
+
+
+def decode_project_pallas_slab(
+    head_params, chain_spec,
+    origins,                     # (nb, 12) i32
+    wzy,                         # (3, Mpad, KR) bf16 (point_blocks.build_slab_weights)
+    axs,                         # (Mpad, 64) bf16
+    aux,                         # (Mpad, 128) staging (fm zero, valid col set)
+    vol,                         # (3, DZ, YP, XP*C) int8 (build_slab_volume)
+    scales,                      # (3, C) f32 int8 dequant scales
+    scale_offset,
+    cam,
+    P: int,                      # cond width the aux staging was built with
+    ey: int, ex: int,
+    parallel: bool = False,
+    compute_dtype=jnp.bfloat16,
+    block: int = 1024,
+    interpret: bool | None = None,
+    gelu: str = "poly",
+    interleave: int = 1,
+    dzw: int = 4,
+    y_align: int = 8,
+):
+    """Slab-gather fused decode+heads+projection -> (rows (NROWS, Mpad),
+    layout). Same output contract as decode_project_pallas, but over the
+    PERMUTED Morton-packed template (order is irrelevant downstream: the
+    rasterizer depth-sorts). Replaces brick-table build + HBM row gather +
+    staging build + heads kernel with ONE kernel over the raw int8 volume.
+
+    Pad-slot culling rides the aux valid column (VALID_COL); the gcol
+    mask is disarmed (n_points = Mpad)."""
+    assert wzy.ndim == 3 and wzy.shape[0] == 3
+    Mpad = wzy.shape[1]
+    C = scales.shape[-1]
+    exc = ex * C
+    kr = dzw * ey
+    assert aux.shape == (Mpad, STAGE), aux.shape
+    assert wzy.shape[2] == kr, (wzy.shape, kr)
+    assert Mpad % block == 0, (Mpad, block)
+    assert origins.shape == (Mpad // block, 12), origins.shape
+    assert block % interleave == 0, (block, interleave)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    weights, chain, layout = _pack_chain(
+        head_params, chain_spec, P, parallel, compute_dtype)
+
+    # x-segment matrix: seg[p, x*C + j, j] = scales[p, j] / n_planes
+    # (x corner-sum + int8 dequant + plane mean in one MXU contraction)
+    eye_t = jnp.tile(jnp.eye(C, dtype=jnp.float32), (ex, 1))   # (EXC, C)
+    seg = (eye_t[None] * (scales.astype(jnp.float32) / 3.0)[:, None, :]
+           ).astype(jnp.bfloat16)
+
+    wv = cam.world_view_transform.astype(jnp.float32)
+    pj = cam.full_proj_transform.astype(jnp.float32)
+    consts = jnp.stack([
+        jnp.asarray(cam.tanfovx, jnp.float32),
+        jnp.asarray(cam.tanfovy, jnp.float32),
+        jnp.asarray(Mpad, jnp.float32),
+        jnp.asarray(0.28209479177387814, jnp.float32),
+    ]).reshape(1, 4)
+    consts = jnp.pad(consts, ((0, 0), (0, 4)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mpad // block,),
+        in_specs=[
+            pl.BlockSpec((3, block, kr), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 64), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, STAGE), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # seg
+            pl.BlockSpec(memory_space=pl.ANY),         # vol
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec((NROWS, block), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, dzw, ey, exc), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((block, STAGE), compute_dtype),
+            pltpu.VMEM((block, OUT_W), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _slab_heads_project_kernel,
+            dzw=dzw, ey=ey, exc=exc, C=C, y_align=y_align,
+            chain=tuple(chain), scale_offset=scale_offset,
+            compute_dtype=compute_dtype, gelu=_GELUS[gelu],
+            image_w=cam.image_width, image_h=cam.image_height,
+            block=block, layout=layout, interleave=interleave,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NROWS, Mpad), jnp.float32),
+        interpret=interpret,
+    )(origins, wzy, axs, aux.astype(compute_dtype), seg, vol,
+      *weights, wv, pj, consts)
+    return out, layout

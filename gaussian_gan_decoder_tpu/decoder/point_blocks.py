@@ -29,6 +29,9 @@ import numpy as np
 C = 32           # feature channels per plane
 DZW = 4          # slab z window (DZW * EY must be 128: one MXU K-tile)
 EY = 32          # slab y rows
+EX = 20          # slab x cells (EX*C = 640 lanes; Morton cubes of 1024
+#                  flagship points span ~16 cells/axis — ex=16 usable
+#                  width is 12 after alignment and fragments 5x)
 Y_ALIGN = 8      # y origin alignment (int8 DMA sublane granule)
 X_ALIGN = 4      # x origin alignment (4 cells * 32 ch = 128 lanes)
 
@@ -90,6 +93,8 @@ class PointBlocks:
     valid: np.ndarray       # (Mpad,) f32 1.0 real / 0.0 pad
     n_points: int           # real point count M
     block: int
+    ey: int = EY
+    ex: int = EX
 
     @property
     def n_blocks(self) -> int:
@@ -100,6 +105,57 @@ class PointBlocks:
         return self.positions.shape[0]
 
 
+def build_slab_weights(pb: PointBlocks):
+    """On-device build of the static per-point interpolation operands the
+    slab kernel consumes (built once per template; a host-numpy build +
+    tunnel transfer of the ~440 MB wzy measured minutes):
+
+      wzy (3, Mpad, DZW*EY) bf16 — per-plane (z, y) trilinear weight matrix
+          over the block's slab rows (4 nonzeros: 2 z-corners x 2 y-corners,
+          validity folded — mirrors renderer._corner_weights_1d);
+      axs (Mpad, 64) bf16 — per-plane x corner weights at block-local cell
+          columns, packed [p*EX:(p+1)*EX).
+
+    Everything is expressed in BLOCK-LOCAL coordinates relative to
+    pb.origins, so the kernel needs no per-point index arithmetic."""
+    import jax
+    import jax.numpy as jnp
+
+    nb, blk, ey, ex = pb.n_blocks, pb.block, pb.ey, pb.ex
+    kr = DZW * ey
+
+    @jax.jit
+    def build(origins, xw):
+        blk_of = jnp.repeat(jnp.arange(nb), blk)
+        r = jnp.arange(kr)
+        zi = (r // ey).astype(jnp.float32)[None]
+        yi = (r % ey).astype(jnp.float32)[None]
+        xi = jnp.arange(ex, dtype=jnp.float32)[None]
+        wzys, axss = [], []
+        for p in range(3):
+            c0 = p * 9
+            z0 = origins[blk_of, 3 * p].astype(jnp.float32)
+            y0 = origins[blk_of, 3 * p + 1].astype(jnp.float32) * Y_ALIGN
+            x0 = origins[blk_of, 3 * p + 2].astype(jnp.float32) * X_ALIGN
+            izl = (xw[c0 + 6] - z0)[:, None]
+            iyl = (xw[c0 + 3] - y0)[:, None]
+            ixl = (xw[c0 + 0] - x0)[:, None]
+            wz = (jnp.where(zi == izl, xw[c0 + 7][:, None], 0.0)
+                  + jnp.where(zi == izl + 1, xw[c0 + 8][:, None], 0.0))
+            wy = (jnp.where(yi == iyl, xw[c0 + 4][:, None], 0.0)
+                  + jnp.where(yi == iyl + 1, xw[c0 + 5][:, None], 0.0))
+            wzys.append((wz * wy).astype(jnp.bfloat16))
+            axss.append((jnp.where(xi == ixl, xw[c0 + 1][:, None], 0.0)
+                         + jnp.where(xi == ixl + 1, xw[c0 + 2][:, None], 0.0)
+                         ).astype(jnp.bfloat16))
+        axs = jnp.concatenate(axss, axis=1)
+        axs = jnp.pad(axs, ((0, 0), (0, 64 - 3 * ex)))
+        return jnp.stack(wzys), axs
+
+    assert 3 * ex <= 64, ex
+    return build(jnp.asarray(pb.origins), jnp.asarray(pb.idxw))
+
+
 def build_point_blocks(
     init_position: np.ndarray,    # (M, 3) world coords
     plane_axes: np.ndarray,       # (3, 3, 3) generate_planes() output
@@ -107,7 +163,7 @@ def build_point_blocks(
     sizes: tuple,                 # (D, H, W) tri-grid dims
     block: int = 1024,
     ey: int = EY,
-    ex: int = 16,
+    ex: int = EX,
 ) -> PointBlocks:
     """Morton-sort + greedy-pack the template into slab-fitting blocks.
 
@@ -134,8 +190,13 @@ def build_point_blocks(
         iz[p], wts[p, 4], wts[p, 5] = _corner_1d(proj[:, 2], D)
 
     # Morton order on the clamped world grid (the SAME clamped indices
-    # that drive the windows, so clustering bounds the windows)
+    # that drive the windows, so clustering bounds the windows). Shift
+    # each axis so the OCCUPIED region starts at a Morton-aligned corner:
+    # greedy blocks then split at Morton-cube boundaries instead of
+    # mid-cube (unshifted, the walk fragmented 5x on the flagship
+    # template — 449% padding).
     gq = np.clip(((g + 1.0) * 0.5 * (W - 1)).astype(np.int64), 0, W - 1)
+    gq = gq - gq.min(axis=0)
     order = np.argsort(_morton3(gq[:, 0], gq[:, 1], gq[:, 2]),
                        kind="stable")
 
@@ -217,7 +278,7 @@ def build_point_blocks(
 
     return PointBlocks(
         perm=perm, positions=positions, origins=origins, idxw=idxw,
-        valid=valid, n_points=M, block=block)
+        valid=valid, n_points=M, block=block, ey=ey, ex=ex)
 
 
 def _round_up(v: int, m: int) -> int:

@@ -100,12 +100,19 @@ def decode_and_render_stream(
     raster_cfg: Optional[RasterizeConfig] = None,
     truncation_psi: float = 1.0,
     frame_batch: int = 4,
+    slab_ctx=None,
 ):
     """Decode+render F frames with the BACKBONE batched frame_batch at a
     time (mapping + 256^2 synthesis at batch 1 runs the MXU at a few
     percent utilization; batching amortizes it) while the memory-heavy
     per-frame tail (brick table -> gather -> heads -> binning -> blend)
     runs sequentially under lax.map so peak HBM stays single-frame.
+
+    slab_ctx (decoder.make_slab_context output) switches the per-frame
+    tail to the slab-gather kernel. NOTE: its large static arrays (wzy is
+    ~440 MB at flagship) must reach the surrounding jit as ARGUMENTS, not
+    closure constants — the tunnel compile-helper chokes serialising
+    constant-embedded HLO.
 
     -> (F, 3, H, W) frames. Requires the Pallas fast path."""
     assert decoder.pallas_heads, "stream path uses the fused kernel"
@@ -126,7 +133,7 @@ def decode_and_render_stream(
 
         def one(pl_1):
             rows, layout = decoder.decode_project(
-                params, pl_1[None], init_position, cam)
+                params, pl_1[None], init_position, cam, slab_ctx=slab_ctx)
             out = render_rows(cam, rows, layout, M, bg=bgv, config=cfg)
             return out["render"][:3]
 
@@ -150,6 +157,7 @@ def decode_and_render(
     truncation_psi: float = 1.0,
     backend: str = "xla",
     return_aux: bool = False,
+    slab_ctx=None,
 ):
     """The real-time editing hot path: latent -> gaussians -> 512^2 frame
     (ref load_decoder.render_with_decoder, main/load_decoder.py:12-26).
@@ -165,16 +173,25 @@ def decode_and_render(
         from .splat.fast_raster import render_rows
         from .utils import EasyDict
 
-        rows, layout = decoder.apply_project(
-            params, z, camera_params, init_position, cam, truncation_psi)
+        planes, _ = decoder.synthesize_planes(
+            params, z, camera_params, truncation_psi)
+        rows, layout = decoder.decode_project(
+            params, planes, init_position, cam, slab_ctx=slab_ctx)
         out = render_rows(
             cam, rows, layout, init_position.shape[0],
             bg=jnp.asarray(bg, jnp.float32), config=cfg,
         )
         M = init_position.shape[0]
-        decoded = EasyDict({
-            name: rows[c:c + d, :M].T for name, (c, d) in layout.items()
-        })
+        if slab_ctx is not None:
+            # slab rows are in packed/permuted slot order — map back
+            r16 = rows[:16, :][:, slab_ctx.inv_slot]
+            decoded = EasyDict({
+                name: r16[c:c + d].T for name, (c, d) in layout.items()
+            })
+        else:
+            decoded = EasyDict({
+                name: rows[c:c + d, :M].T for name, (c, d) in layout.items()
+            })
         if return_aux:
             return out["render"][:3], decoded, out
         return out["render"][:3], decoded

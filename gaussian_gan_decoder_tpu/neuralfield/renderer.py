@@ -246,6 +246,44 @@ def _trilinear_table(feats, pallas_build=False):
     return (e, NY)
 
 
+def build_slab_volume(
+    plane_features: jax.Array,   # (1, n_planes, C*D, H, W)
+    triplane_depth: int,
+    y_align: int = 8,
+    x_align: int = 4,
+):
+    """Per-frame channels-last int8 volume for the slab decode kernel
+    (decoder/pallas_heads.decode_project_pallas_slab): NO corner-brick
+    expansion — the kernel DMAs raw slabs and performs the trilinear lerp
+    as MXU contractions, so the volume stays at 1x (vs 8x) the feature
+    bytes.
+
+    Layout matches the padded-axis contract of _corner_weights_1d
+    (align_corners=False + zeros padding; padded index = clip(x0+1, 0,
+    size)): one zero voxel of leading pad per axis, trailing pad rounded
+    up to the DMA alignment granule (y: 8 sublanes int8, x: 4 cells * 32
+    ch = 128 lanes).
+
+    -> (vol (P, D+2, YP, XP*C) int8, scales (P, C) f32) with
+    YP = roundup(H+2, y_align), XP = roundup(W+2, x_align). Quantization
+    identical to build_plane_table's int8 path (same absmax scales)."""
+    N, n_planes, CD, H, W = plane_features.shape
+    assert N == 1, "slab volume is a per-frame (batch-1) structure"
+    D = triplane_depth
+    C = CD // D
+    feats = plane_features.astype(jnp.float32).reshape(n_planes, C, D, H, W)
+    absmax = jnp.max(jnp.abs(feats), axis=(2, 3, 4))
+    scales = jnp.maximum(absmax / 127.0, 1e-12)          # (P, C)
+    q = feats * (1.0 / scales)[:, :, None, None, None]
+    q8 = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+    YP = -(-(H + 2) // y_align) * y_align
+    XP = -(-(W + 2) // x_align) * x_align
+    fcl = jnp.transpose(q8, (0, 2, 3, 4, 1))             # (P, D, H, W, C)
+    fcl = jnp.pad(fcl, ((0, 0), (1, 1), (1, YP - H - 1), (1, XP - W - 1),
+                        (0, 0)))
+    return fcl.reshape(n_planes, D + 2, YP, XP * C), scales
+
+
 def _trilinear_sample_table(table, C, D, H, W, grid):
     """table from build_plane_table ((e, NY) float or (e, NY, scales)
     int8); grid (B, M, 3) in [-1,1] -> (B, M, C)."""

@@ -27,10 +27,26 @@ def main():
     if os.environ.get("FUSED_LERP"):
         import dataclasses
         dec = dataclasses.replace(dec, fused_lerp=os.environ["FUSED_LERP"])
+    if os.environ.get("PROF_SLAB"):
+        import dataclasses
+        dec = dataclasses.replace(dec, slab_sampling=True)
     params = dec.init(jax.random.PRNGKey(0),
                       generator_params=dec.generator.init(jax.random.PRNGKey(1)))
     cp, cam2world = default_camera_params()
     init_pos = (jax.random.uniform(jax.random.PRNGKey(2), (500_000, 3)) - 0.5) * 0.4
+    slab_ctx = dec.make_slab_context(init_pos) if dec.slab_sampling else None
+    # the ~440 MB wzy must be a jit ARGUMENT (constant-embedded HLO hangs
+    # the tunnel compile helper)
+    slab_arr = (None if slab_ctx is None else
+                {k: slab_ctx[k] for k in ("origins", "wzy", "axs", "aux")})
+
+    def _ctx(sa):
+        if sa is None:
+            return None
+        from gaussian_gan_decoder_tpu.utils import EasyDict
+        merged = EasyDict(slab_ctx)
+        merged.update(sa)
+        return merged
     rcfg = flagship_raster_config()
     cam = make_camera(512, jnp.asarray(0.227), cam2world)
     ts = rcfg.tile_size
@@ -44,7 +60,16 @@ def main():
 
     M = 500_000
 
-    def frame(params, z, stage):
+    def frame(params, z, stage, sa=None):
+        if stage == "slab_vol":
+            # per-frame slab-path input: pad/transpose/quantize the raw
+            # volume (no brick expansion)
+            from gaussian_gan_decoder_tpu.neuralfield.renderer import (
+                build_slab_volume)
+            planes, _ = dec.synthesize_planes(params, z, cp, 1.0)
+            vol, scales = build_slab_volume(planes, dec.generator.triplane_depth)
+            return (jnp.sum(vol[:, :, ::37, ::513].astype(jnp.float32))
+                    + jnp.sum(scales))
         if stage in ("sample_full", "stagein_full"):
             # FULL consumption: the sampled-sum variants let XLA slim the
             # gather (it fuses the stride into the take indices), so their
@@ -148,7 +173,12 @@ def main():
             return jnp.sum(staging[::4097, :].astype(jnp.float32))
         # v2 hot path: fused heads+projection kernel (matches flagship)
         from gaussian_gan_decoder_tpu.decoder.pallas_heads import PROJ_ROWS
-        rows, layout = dec.apply_project(params, z, cp, init_pos, cam, 1.0)
+        if sa is not None:
+            planes, _ = dec.synthesize_planes(params, z, cp, 1.0)
+            rows, layout = dec.decode_project(
+                params, planes, init_pos, cam, slab_ctx=_ctx(sa))
+        else:
+            rows, layout = dec.apply_project(params, z, cp, init_pos, cam, 1.0)
         if stage == "decode":
             return jnp.sum(rows[:, :8])
         r = {k: rows[v] for k, v in PROJ_ROWS.items()}
@@ -233,14 +263,17 @@ def main():
         "decode,fields,pairs,bin,bin_all,full").split(",")
     for stage in stages:
         @jax.jit
-        def stream(params, zs, stage=stage):
+        def stream(params, zs, sa, stage=stage):
             def body(i, acc):
-                return acc + frame(params, zs[i], stage)
+                return acc + frame(params, zs[i], stage, sa)
             return jax.lax.fori_loop(0, ITERS, body, 0.0)
 
-        float(stream(params, zs))
+        sa = slab_arr if stage not in (
+            "synth", "table", "table_q", "sample", "sample_full",
+            "stagein_full", "stagein", "fused_in", "slab_vol") else None
+        float(stream(params, zs, sa))
         t0 = time.perf_counter()
-        float(stream(params, zs))
+        float(stream(params, zs, sa))
         dt = (time.perf_counter() - t0) / ITERS * 1e3
         print(f"through {stage:8s}: {dt:7.2f} ms/frame   (delta {dt - prev:+7.2f})",
               flush=True)
