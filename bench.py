@@ -55,7 +55,13 @@ def main():
     rcfg = flagship_raster_config()
 
     backend = os.environ.get("BENCH_BACKEND", "pallas")
-    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH", 4))
+    slab_on = os.environ.get("BENCH_SLAB", "").strip().lower() not in (
+        "", "0", "false", "no")
+    # slab default fb=1: the batched lax.map stream with the slab kernel
+    # compiles pathologically (>10 min) through the tunnel helper, and
+    # fb=4 measured no gain over fb=1 on the non-slab path anyway
+    frame_batch = int(os.environ.get("BENCH_FRAME_BATCH",
+                                     "1" if slab_on else "4"))
 
     # raster-config sweep knobs (PERFORMANCE.md round-2 roadmap: the sort
     # is the largest raster cost; copies->overflow rebalance shrinks the
@@ -75,7 +81,7 @@ def main():
     # slab-gather decode: Morton-pack the static template once, decode
     # each frame with the slab kernel (no brick table, no HBM row gather)
     slab_ctx = None
-    if os.environ.get("BENCH_SLAB", "").strip().lower() not in ("", "0", "false", "no"):
+    if slab_on:
         import dataclasses as _dcs2
 
         dec = _dcs2.replace(dec, slab_sampling=True)

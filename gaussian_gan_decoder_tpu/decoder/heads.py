@@ -77,9 +77,9 @@ class DecoderHead:
             b = params[f"fc{i}"]["bias"]
             x = x @ w.T.astype(x.dtype) + b.astype(x.dtype)
             if i < 3:
-                if self.gelu == "poly":
-                    from .pallas_heads import gelu_poly
-                    x = gelu_poly(x)
+                if self.gelu.startswith("poly"):
+                    from .pallas_heads import _GELUS
+                    x = _GELUS[self.gelu](x)
                 else:
                     x = jax.nn.gelu(x, approximate=(self.gelu == "tanh"))
         return x
@@ -125,6 +125,11 @@ class GaussianDecoder:
     # then decode each frame with ONE kernel that DMAs raw int8 volume
     # slabs and lerps on the MXU — no brick table, no HBM row gather
     # (decoder/point_blocks.py + pallas_heads.decode_project_pallas_slab)
+    slab_int8_weights: bool = True  # quantize the static (z,y) lerp weight
+    # matrix to int8 (x127, dequant folded into the segment matrix): the
+    # MXU contraction runs s8 x s8 -> s32 at 2x the bf16 rate with half
+    # the weight-stream bytes; +2^-7 relative weight error on features
+    # that already carry the int8 volume's 2^-7
 
     @property
     def _brick_dtype(self):
@@ -334,6 +339,9 @@ class GaussianDecoder:
                   "template density too low for the slab windows; the "
                   "brick-table path is likely faster", file=sys.stderr)
         wzy, axs = build_slab_weights(pb)
+        if self.slab_int8_weights:
+            wzy = jnp.clip(jnp.round(wzy.astype(jnp.float32) * 127.0),
+                           -127, 127).astype(jnp.int8)
         positions = jnp.asarray(pb.positions)
         cond = (self.embedder(positions) if self.use_xyz_embedding
                 else positions)

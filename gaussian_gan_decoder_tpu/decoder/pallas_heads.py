@@ -93,8 +93,29 @@ def gelu_poly(x):
     return y.astype(x.dtype)
 
 
+_GELU_POLY6 = (  # minimax-ish deg-6 fit of h(u), max abs err 1.8e-3
+    1.78927555e-03, 3.88399878e-01, -5.61855200e-02, 5.99722169e-03,
+    -3.76970754e-04, 1.25452394e-05, -1.69796236e-07,
+)
+
+
+def gelu_poly6(x):
+    """Coarser polynomial GELU (max abs err 1.8e-3 vs poly's 1.2e-4): 3
+    fewer Horner steps x 15 GELUs/block on the VPU-bound chain. Intended
+    for the int8-feature path, whose 2^-7 quantization floor (~8e-3)
+    already dominates this approximation error."""
+    xf = x.astype(jnp.float32)
+    u = xf * xf
+    acc = jnp.full_like(xf, _GELU_POLY6[-1])
+    for c in _GELU_POLY6[-2::-1]:
+        acc = acc * u + c
+    y = 0.5 * xf + acc
+    y = jnp.where(xf > 4.5, xf, jnp.where(xf < -4.5, 0.0, y))
+    return y.astype(x.dtype)
+
+
 _GELUS = {"exact": _gelu_exact, "tanh": _gelu_tanh, "poly": gelu_poly,
-          "none": lambda x: x}
+          "poly6": gelu_poly6, "none": lambda x: x}
 
 
 def _heads_kernel(
@@ -675,14 +696,24 @@ def _slab_heads_project_kernel(
     xeiota = ((jax.lax.broadcasted_iota(jnp.int32, (ex, exc), 1) // C)
               == jax.lax.broadcasted_iota(jnp.int32, (ex, exc), 0)
               ).astype(jnp.bfloat16)
+    int8_w = wzy_in.dtype == jnp.int8
     acc = jnp.zeros((block, C), jnp.float32)
     for p in range(3):
-        sl = slab[slot, p].reshape(kr, exc).astype(jnp.bfloat16)
-        # (z,y) contraction: 4-nonzero-per-row static weight matrix on MXU
-        t = jnp.dot(wzy_in[p], sl, preferred_element_type=jnp.float32)
+        # (z,y) contraction: 4-nonzero-per-row static weight matrix on MXU.
+        # int8 weights (x127, 1/127 folded into seg) run s8 x s8 -> s32 at
+        # 2x the bf16 rate and half the stream bytes (measured 5.1 vs 5.8
+        # ms standalone at flagship scale)
+        if int8_w:
+            sl = slab[slot, p].reshape(kr, exc)
+            t = jnp.dot(wzy_in[p], sl, preferred_element_type=jnp.int32
+                        ).astype(jnp.bfloat16)
+        else:
+            sl = slab[slot, p].reshape(kr, exc).astype(jnp.bfloat16)
+            t = jnp.dot(wzy_in[p], sl, preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)
         ax = jnp.dot(axs_in[:, p * ex:(p + 1) * ex], xeiota,
                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        prod = t.astype(jnp.bfloat16) * ax
+        prod = t * ax
         # x contraction + int8 dequant + plane mean via the segment matrix
         acc = acc + jnp.dot(prod, seg[p],
                             preferred_element_type=jnp.float32)
@@ -746,9 +777,11 @@ def decode_project_pallas_slab(
         head_params, chain_spec, P, parallel, compute_dtype)
 
     # x-segment matrix: seg[p, x*C + j, j] = scales[p, j] / n_planes
-    # (x corner-sum + int8 dequant + plane mean in one MXU contraction)
+    # (x corner-sum + int8 dequant + plane mean in one MXU contraction);
+    # int8 wzy weights additionally fold their 1/127 dequant here
     eye_t = jnp.tile(jnp.eye(C, dtype=jnp.float32), (ex, 1))   # (EXC, C)
-    seg = (eye_t[None] * (scales.astype(jnp.float32) / 3.0)[:, None, :]
+    wq = 127.0 if wzy.dtype == jnp.int8 else 1.0
+    seg = (eye_t[None] * (scales.astype(jnp.float32) / (3.0 * wq))[:, None, :]
            ).astype(jnp.bfloat16)
 
     wv = cam.world_view_transform.astype(jnp.float32)

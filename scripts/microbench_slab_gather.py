@@ -202,6 +202,93 @@ def _slab_kernel_pre(origins, wzy, axs, seg, vol, out_ref, slab, sems, *,
     out_ref[:] = acc
 
 
+def _slab_kernel_pre8(origins, wzy, axs, seg, vol, out_ref, slab, sems, *,
+                      blk, ey, exc, dzw, ilv=1):
+    """int8-weights variant: wzy quantized x127 to int8 -> the (z,y)
+    contraction runs s8 x s8 -> s32 at 2x the bf16 MXU rate and half the
+    weight-stream bytes; the 1/127 dequant folds into seg. ilv>1
+    interleaves row-chunks so chunk B's VPU mul overlaps chunk A's dots."""
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def dma(b, slot, p):
+        zt = origins[b, 3 * p]
+        yt = origins[b, 3 * p + 1]
+        xt = origins[b, 3 * p + 2]
+        return pltpu.make_async_copy(
+            vol.at[p, pl.ds(zt, dzw), pl.ds(yt * Y_ALIGN, ey),
+                   pl.ds(xt * 128, exc)],
+            slab.at[slot, p],
+            sems.at[slot, p],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for p in range(3):
+            dma(0, 0, p).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        for p in range(3):
+            dma(i + 1, (i + 1) % 2, p).start()
+
+    slot = i % 2
+    for p in range(3):
+        dma(i, slot, p).wait()
+
+    kr = dzw * ey
+    ex = exc // C
+    xeiota = ((jax.lax.broadcasted_iota(jnp.int32, (ex, exc), 1) // C)
+              == jax.lax.broadcasted_iota(jnp.int32, (ex, exc), 0)
+              ).astype(jnp.bfloat16)
+    S = blk // ilv
+    for g in range(ilv):
+        sl_r = slice(g * S, (g + 1) * S)
+        acc = jnp.zeros((S, C), jnp.float32)
+        for p in range(3):
+            sl = slab[slot, p].reshape(kr, exc)
+            t = jnp.dot(wzy[p, sl_r], sl,
+                        preferred_element_type=jnp.int32)
+            ax = jnp.dot(axs[sl_r, p * ex:(p + 1) * ex], xeiota,
+                         preferred_element_type=jnp.float32
+                         ).astype(jnp.bfloat16)
+            prod = t.astype(jnp.bfloat16) * ax
+            acc = acc + jnp.dot(prod, seg[p].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+        out_ref[sl_r] = acc
+
+
+def slab_gather_pre8(origins, wzy8, axs, seg, vol, *, blk, ey, exc, dzw,
+                     interpret, ilv=1):
+    nb = origins.shape[0]
+    kr = dzw * ey
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, blk, kr), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 64), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((blk, C), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, dzw, ey, exc), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_slab_kernel_pre8, blk=blk, ey=ey, exc=exc,
+                          dzw=dzw, ilv=ilv),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * blk, C), jnp.float32),
+        interpret=interpret,
+    )(origins, wzy8, axs, seg, vol)
+
+
 def slab_gather_pre(origins, wzy, axs, seg, vol, *, blk, ey, exc, dzw,
                     interpret):
     nb = origins.shape[0]
@@ -368,31 +455,54 @@ def main():
             seg[p, x * C + np.arange(C), np.arange(C)] = seg_scale[p]
     seg = jnp.asarray(seg)
 
-    if args.variant == "pre":
+    # every large array rides as a jit ARGUMENT: constant-embedded HLO
+    # >~100 MB hangs the tunnel compile helper
+    og = jnp.asarray(origins)
+    if args.variant.startswith("pre"):
         wzy, axs = build_pre_weights(origins, xw, nb, blk, ey, ex, dzw)
-        f0 = jax.jit(functools.partial(
-            slab_gather_pre, blk=blk, ey=ey, exc=exc, dzw=dzw,
-            interpret=args.interpret))
-        f = lambda o, i, s, v: f0(o, wzy, axs, s, v)  # noqa: E731
+        axs_pk = jnp.pad(axs.transpose(1, 0, 2).reshape(M, 3 * ex),
+                         ((0, 0), (0, 64 - 3 * ex)))
+        if args.variant.startswith("pre8"):
+            ilv = int(args.variant[5:]) if len(args.variant) > 5 else 1
+            wzy8 = jnp.clip(jnp.round(wzy.astype(jnp.float32) * 127.0),
+                            -127, 127).astype(jnp.int8)
+            call = functools.partial(
+                slab_gather_pre8, blk=blk, ey=ey, exc=exc, dzw=dzw,
+                interpret=args.interpret, ilv=ilv)
+            arrs = (og, wzy8, axs_pk, seg / 127.0, vol)
+        else:
+            call = functools.partial(
+                slab_gather_pre, blk=blk, ey=ey, exc=exc, dzw=dzw,
+                interpret=args.interpret)
+            arrs = (og, wzy, axs, seg, vol)
     else:
-        f = jax.jit(functools.partial(
+        call = functools.partial(
             slab_gather, blk=blk, ey=ey, exc=exc, dzw=dzw,
-            interpret=args.interpret, variant=args.variant))
-    out = np.asarray(f(jnp.asarray(origins), idxw, seg, vol))
+            interpret=args.interpret, variant=args.variant)
+        arrs = (og, idxw, seg, vol)
+    out = np.asarray(jax.jit(call)(*arrs))
     ref = reference(origins, xw.reshape(32, M), seg_scale, vol5)
     err = np.max(np.abs(out - ref)) / np.max(np.abs(ref))
-    print(f"parity: max err / max |ref| = {err:.2e} (bf16 budget ~1e-2)")
-    assert err < 2e-2, err
+    budget = 3e-2 if args.variant.startswith("pre8") else 2e-2
+    print(f"parity: max err / max |ref| = {err:.2e} (budget {budget:.0e})")
+    assert err < budget, err
 
     if not args.interpret:
-        for _ in range(2):
-            jax.block_until_ready(f(jnp.asarray(origins), idxw, seg, vol))
+        IT = 20
+
+        @jax.jit
+        def loop(*arrs):
+            def body(j, acc):
+                a = list(arrs)
+                a[-2] = a[-2] * (1.0 + 1e-6 * j)  # defeat CSE (seg operand)
+                out = call(*a)
+                return acc + out[0, 0] + out[-1, -1]
+            return jax.lax.fori_loop(0, IT, body, 0.0)
+
+        float(loop(*arrs))  # compile + warm
         t0 = time.perf_counter()
-        it = 20
-        for _ in range(it):
-            out = f(jnp.asarray(origins), idxw, seg, vol)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / it * 1e3
+        float(loop(*arrs))
+        dt = (time.perf_counter() - t0) / IT * 1e3
         rows = nb * blk * 3
         print(f"slab gather+lerp ({nb} blocks x {blk}, ey={ey} ex={ex} "
               f"dzw={dzw} {args.variant}): {dt:7.3f} ms  "
