@@ -55,8 +55,11 @@ def main():
     rcfg = flagship_raster_config()
 
     backend = os.environ.get("BENCH_BACKEND", "pallas")
-    slab_on = os.environ.get("BENCH_SLAB", "").strip().lower() not in (
-        "", "0", "false", "no")
+    # slab-gather decode DEFAULT ON (27.98 fps vs 20.97 brick-table path,
+    # measured 2026-08-19); BENCH_SLAB=0 reverts. panohead tri-grid only.
+    slab_on = (os.environ.get("BENCH_SLAB", "1").strip().lower()
+               not in ("0", "false", "no")
+               and variant == "panohead" and backend == "pallas")
     # slab default fb=1: the batched lax.map stream with the slab kernel
     # compiles pathologically (>10 min) through the tunnel helper, and
     # fb=4 measured no gain over fb=1 on the non-slab path anyway
@@ -84,8 +87,15 @@ def main():
     if slab_on:
         import dataclasses as _dcs2
 
-        dec = _dcs2.replace(dec, slab_sampling=True)
+        # poly6 GELU default on the slab path: 27.98 vs 27.27 fps measured;
+        # its 1.8e-3 approx error sits under the int8 features' 2^-7 floor
+        dec = _dcs2.replace(dec, slab_sampling=True,
+                            gelu=os.environ.get("BENCH_GELU", "poly6"))
+        t0 = time.perf_counter()
         slab_ctx = dec.make_slab_context(init_pos)
+        jax.block_until_ready(slab_ctx.wzy)
+        print(f"slab context build: {time.perf_counter() - t0:.1f}s "
+              f"(one-time per template)", file=sys.stderr)
     # the ~440 MB wzy must reach jit as an ARGUMENT (constant-embedded
     # HLO hangs the tunnel compile helper); statics stay in the closure
     slab_arr = (None if slab_ctx is None else
@@ -144,25 +154,36 @@ def main():
 
     frame_stream = None
     path_ran = None
-    for fb, packed in ([(frame_batch, True), (1, True), (1, False)]
-                       if frame_batch > 1 else [(1, True), (1, False)]):
+    used_arr = None
+    cascade = [(frame_batch, True, slab_ctx is not None)]
+    if slab_ctx is not None:   # a slab-specific failure must not zero it
+        cascade.append((1, True, False))
+    if frame_batch > 1:
+        cascade.append((1, True, False))
+    cascade.append((1, False, False))
+    for fb, packed, use_slab in cascade:
         try:
             if not packed:
                 rcfg = dataclasses.replace(
                     rcfg, packed_payloads=False, fused_sort_key=False)
+            sa = slab_arr if use_slab else None
             candidate = make_stream(fb)
-            float(candidate(params, zs, slab_arr))  # compile + warmup
+            float(candidate(params, zs, sa))  # compile + warmup
             frame_stream = candidate
+            used_arr = sa
             path_ran = (f"frame_batch={fb},packed={packed}"
-                        + (",slab" if slab_ctx is not None else ""))
+                        + (",slab" if use_slab else ""))
             break
         except Exception as e:  # noqa: BLE001
-            print(f"frame_batch={fb} packed={packed} path failed "
-                  f"({type(e).__name__}: {e}); falling back", file=sys.stderr)
+            print(f"frame_batch={fb} packed={packed} slab={use_slab} path "
+                  f"failed ({type(e).__name__}: {e}); falling back",
+                  file=sys.stderr)
     assert frame_stream is not None, "no benchmark path compiled"
+    if used_arr is None:
+        slab_ctx = None   # keep the aux/n_dropped check on the same path
 
     t0 = time.perf_counter()
-    float(frame_stream(params, zs, slab_arr))
+    float(frame_stream(params, zs, used_arr))
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 

@@ -338,7 +338,10 @@ class GaussianDecoder:
                   f"padded ({pb.n_blocks} blocks for {pb.n_points} points) — "
                   "template density too low for the slab windows; the "
                   "brick-table path is likely faster", file=sys.stderr)
-        wzy, axs = build_slab_weights(pb)
+        wzy, axs = build_slab_weights(
+            pb, g.renderer.plane_axes, g.rk["box_warp"],
+            (g.triplane_depth, int(g.rk["triplane_size"]),
+             int(g.rk["triplane_size"])))
         if self.slab_int8_weights:
             wzy = jnp.clip(jnp.round(wzy.astype(jnp.float32) * 127.0),
                            -127, 127).astype(jnp.int8)

@@ -105,7 +105,8 @@ class PointBlocks:
         return self.positions.shape[0]
 
 
-def build_slab_weights(pb: PointBlocks):
+def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
+                       sizes=None):
     """On-device build of the static per-point interpolation operands the
     slab kernel consumes (built once per template; a host-numpy build +
     tunnel transfer of the ~440 MB wzy measured minutes):
@@ -117,43 +118,131 @@ def build_slab_weights(pb: PointBlocks):
           columns, packed [p*EX:(p+1)*EX).
 
     Everything is expressed in BLOCK-LOCAL coordinates relative to
-    pb.origins, so the kernel needs no per-point index arithmetic."""
+    pb.origins, so the kernel needs no per-point index arithmetic.
+
+    When (plane_axes, box_warp, sizes) are given, only the COMPACT int16
+    padded indices ship to the device (~13 MB at flagship vs 73 MB for the
+    full idxw rows — the tunnel transfer dominates context-build time);
+    fracs and validity recompute on device from pb.positions. The host's
+    integer indices stay authoritative (they define the packing windows);
+    a device-side frac that lands 1 ulp across a cell boundary merely
+    extrapolates the lerp by ~1e-6 — harmless — whereas a device-side
+    floor could violate the window invariant."""
     import jax
     import jax.numpy as jnp
 
     nb, blk, ey, ex = pb.n_blocks, pb.block, pb.ey, pb.ex
     kr = DZW * ey
+    assert 3 * ex <= 64, ex
+
+    if plane_axes is None:
+        # legacy full-idxw path (tests / callers without the projection)
+        @jax.jit
+        def build(origins, xw):
+            blk_of = jnp.repeat(jnp.arange(nb), blk)
+            r = jnp.arange(kr)
+            zi = (r // ey).astype(jnp.float32)[None]
+            yi = (r % ey).astype(jnp.float32)[None]
+            xi = jnp.arange(ex, dtype=jnp.float32)[None]
+            wzys, axss = [], []
+            for p in range(3):
+                c0 = p * 9
+                z0 = origins[blk_of, 3 * p].astype(jnp.float32)
+                y0 = origins[blk_of, 3 * p + 1].astype(jnp.float32) * Y_ALIGN
+                x0 = origins[blk_of, 3 * p + 2].astype(jnp.float32) * X_ALIGN
+                izl = (xw[c0 + 6] - z0)[:, None]
+                iyl = (xw[c0 + 3] - y0)[:, None]
+                ixl = (xw[c0 + 0] - x0)[:, None]
+                wz = (jnp.where(zi == izl, xw[c0 + 7][:, None], 0.0)
+                      + jnp.where(zi == izl + 1, xw[c0 + 8][:, None], 0.0))
+                wy = (jnp.where(yi == iyl, xw[c0 + 4][:, None], 0.0)
+                      + jnp.where(yi == iyl + 1, xw[c0 + 5][:, None], 0.0))
+                wzys.append((wz * wy).astype(jnp.bfloat16))
+                axss.append((jnp.where(xi == ixl, xw[c0 + 1][:, None], 0.0)
+                             + jnp.where(xi == ixl + 1,
+                                         xw[c0 + 2][:, None], 0.0)
+                             ).astype(jnp.bfloat16))
+            axs = jnp.concatenate(axss, axis=1)
+            axs = jnp.pad(axs, ((0, 0), (0, 64 - 3 * ex)))
+            return jnp.stack(wzys), axs
+
+        return build(jnp.asarray(pb.origins), jnp.asarray(pb.idxw))
+
+    D, H, W = sizes
+    import numpy as np
+    inv = np.linalg.inv(plane_axes).astype(np.float32)
+    # compact host payload per plane: (ix, iy, iz) int16 + one int16 of
+    # the 6 host validity bits (vx0 vx1 vy0 vy1 vz0 vz1). Validity must be
+    # the HOST's: where _corner_weights_1d's clip binds (point far outside
+    # the grid), idxp - 1 is NOT the true floor and a device-recomputed
+    # weight would be garbage — the host bits zero those corners exactly.
+    # validity comes from the TRUE (unclipped) floor, recomputed with the
+    # same host math as the packer — where _corner_weights_1d's clip bound
+    # (point far outside the grid) idxp-1 is NOT the true floor and an
+    # in-range check on it would wrongly validate a garbage corner
+    g_h = (2.0 / box_warp) * pb.positions
+    idx16 = np.zeros((pb.m_padded, 12), np.int16)
+    for p in range(3):
+        c0 = p * 9
+        idx16[:, 4 * p + 0] = pb.idxw[c0 + 0].astype(np.int16)
+        idx16[:, 4 * p + 1] = pb.idxw[c0 + 3].astype(np.int16)
+        idx16[:, 4 * p + 2] = pb.idxw[c0 + 6].astype(np.int16)
+        proj_h = g_h @ inv[p]
+        bits = np.zeros(pb.m_padded, np.int16)
+        for ax, size in ((0, W), (1, H), (2, D)):
+            x0t = np.floor(((proj_h[:, ax] + 1.0) * size - 1.0) * 0.5
+                           ).astype(np.int64)
+            v0 = (x0t >= 0) & (x0t < size)
+            v1 = (x0t + 1 >= 0) & (x0t + 1 < size)
+            bits = bits | (v0.astype(np.int16) << (2 * ax))
+            bits = bits | (v1.astype(np.int16) << (2 * ax + 1))
+        idx16[:, 4 * p + 3] = bits
 
     @jax.jit
-    def build(origins, xw):
+    def build(origins, idx16, positions):
         blk_of = jnp.repeat(jnp.arange(nb), blk)
         r = jnp.arange(kr)
         zi = (r // ey).astype(jnp.float32)[None]
         yi = (r % ey).astype(jnp.float32)[None]
         xi = jnp.arange(ex, dtype=jnp.float32)[None]
+        g = (2.0 / box_warp) * positions                # (Mpad, 3)
         wzys, axss = [], []
         for p in range(3):
-            c0 = p * 9
+            proj = g @ jnp.asarray(inv[p])
+            ip = idx16[:, 4 * p:4 * p + 3].astype(jnp.float32)
+            vbits = idx16[:, 4 * p + 3].astype(jnp.int32)
+
+            def corner(x_cont, idxp, size, v0, v1):
+                x = ((x_cont + 1.0) * size - 1.0) * 0.5
+                w1 = x - (idxp - 1.0)
+                return ((1.0 - w1) * v0, w1 * v1)
+
+            def vbit(k):
+                return ((vbits >> k) & 1).astype(jnp.float32)
+
+            wxa, wxb = corner(proj[:, 0], ip[:, 0], W, vbit(0), vbit(1))
+            wya, wyb = corner(proj[:, 1], ip[:, 1], H, vbit(2), vbit(3))
+            wza, wzb = corner(proj[:, 2], ip[:, 2], D, vbit(4), vbit(5))
             z0 = origins[blk_of, 3 * p].astype(jnp.float32)
             y0 = origins[blk_of, 3 * p + 1].astype(jnp.float32) * Y_ALIGN
             x0 = origins[blk_of, 3 * p + 2].astype(jnp.float32) * X_ALIGN
-            izl = (xw[c0 + 6] - z0)[:, None]
-            iyl = (xw[c0 + 3] - y0)[:, None]
-            ixl = (xw[c0 + 0] - x0)[:, None]
-            wz = (jnp.where(zi == izl, xw[c0 + 7][:, None], 0.0)
-                  + jnp.where(zi == izl + 1, xw[c0 + 8][:, None], 0.0))
-            wy = (jnp.where(yi == iyl, xw[c0 + 4][:, None], 0.0)
-                  + jnp.where(yi == iyl + 1, xw[c0 + 5][:, None], 0.0))
+            izl = (ip[:, 2] - z0)[:, None]
+            iyl = (ip[:, 1] - y0)[:, None]
+            ixl = (ip[:, 0] - x0)[:, None]
+            wz = (jnp.where(zi == izl, wza[:, None], 0.0)
+                  + jnp.where(zi == izl + 1, wzb[:, None], 0.0))
+            wy = (jnp.where(yi == iyl, wya[:, None], 0.0)
+                  + jnp.where(yi == iyl + 1, wyb[:, None], 0.0))
             wzys.append((wz * wy).astype(jnp.bfloat16))
-            axss.append((jnp.where(xi == ixl, xw[c0 + 1][:, None], 0.0)
-                         + jnp.where(xi == ixl + 1, xw[c0 + 2][:, None], 0.0)
+            axss.append((jnp.where(xi == ixl, wxa[:, None], 0.0)
+                         + jnp.where(xi == ixl + 1, wxb[:, None], 0.0)
                          ).astype(jnp.bfloat16))
         axs = jnp.concatenate(axss, axis=1)
         axs = jnp.pad(axs, ((0, 0), (0, 64 - 3 * ex)))
         return jnp.stack(wzys), axs
 
-    assert 3 * ex <= 64, ex
-    return build(jnp.asarray(pb.origins), jnp.asarray(pb.idxw))
+    return build(jnp.asarray(pb.origins), jnp.asarray(idx16),
+                 jnp.asarray(pb.positions))
 
 
 def build_point_blocks(

@@ -98,6 +98,10 @@ def main():
                             fromlist=["_CHAINS"])._CHAINS[dec.decoder_type]],
                 1024, jnp.bfloat16)
             return jnp.sum(staging.astype(jnp.float32))
+        if stage == "mapping":
+            ws = dec.generator.mapping(params["G"], z,
+                                       jnp.zeros_like(cp), truncation_psi=1.0)
+            return jnp.sum(ws)
         if stage in ("synth", "table", "table_q", "sample"):
             planes, _ = dec.synthesize_planes(params, z, cp, 1.0)
             if stage == "synth":
