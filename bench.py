@@ -19,6 +19,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the axon tunnel compile helper costs
+# minutes per fresh program (slab context build measured 225-277 s, the
+# frame stream a further ~4 min); cached re-runs skip straight to device
+# execution. Cache entries key on HLO + compile flags, so code changes
+# never read stale binaries. BENCH_NO_CACHE=1 disables (cold-compile
+# timing studies).
+if not os.environ.get("BENCH_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("BENCH_CACHE_DIR", "/tmp/jax_cache_bench"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from gaussian_gan_decoder_tpu.flagship import (
@@ -45,6 +56,13 @@ def main():
         import dataclasses as _dcs
 
         dec = _dcs.replace(dec, pallas_sampling="select")
+    if os.environ.get("BENCH_PALLAS_MAPPING", "1").strip().lower() not in (
+            "0", "false", "no"):
+        # fused VMEM mapping chain (the XLA 8-FC chain at batch 1 is pure
+        # launch latency, ~2.4 ms/frame measured)
+        import dataclasses as _dcsm
+
+        dec = _dcsm.replace(dec, pallas_mapping=True)
     params = dec.init(
         jax.random.PRNGKey(0),
         generator_params=dec.generator.init(jax.random.PRNGKey(1)),

@@ -125,6 +125,11 @@ class GaussianDecoder:
     # then decode each frame with ONE kernel that DMAs raw int8 volume
     # slabs and lerps on the MXU — no brick table, no HBM row gather
     # (decoder/point_blocks.py + pallas_heads.decode_project_pallas_slab)
+    pallas_mapping: bool = False  # fused VMEM-resident mapping chain: the
+    # 8-FC StyleGAN2 mapping at batch 1 is ~11 tiny sequential XLA ops of
+    # pure launch latency (2.45 ms/frame measured); one pallas_call runs
+    # the whole chain (models/pallas_mapping.py). bf16 weights — inference
+    # decode path only, torch-parity paths keep the XLA mapping
     slab_int8_weights: bool = True  # quantize the static (z,y) lerp weight
     # matrix to int8 (x127, dequant folded into the segment matrix): the
     # MXU contraction runs s8 x s8 -> s32 at 2x the bf16 rate with half
@@ -267,10 +272,24 @@ class GaussianDecoder:
         variant) + synthesis -> feature planes."""
         g = self.generator
         gp = params["G"]
-        if self.decoder_type == "sequential":
-            ws = g.mapping(gp, z, gan_camera_params, truncation_psi=truncation_psi)
+        cam = (gan_camera_params if self.decoder_type == "sequential"
+               else jnp.zeros_like(gan_camera_params))
+        mn = g.backbone.mapping if hasattr(g, "backbone") else None
+        if (self.pallas_mapping and mn is not None
+                and mn.activation == "lrelu" and not mn.last_activation
+                and mn.num_ws is not None and "w_avg" in gp["backbone"]["mapping"]
+                and z.shape[0] <= 8):
+            from ..models.pallas_mapping import mapping_forward_pallas
+
+            # TriPlaneGenerator.mapping's c preconditioning (triplane.py
+            # :258-267): conditioning-zero + c_scale, applied here so the
+            # kernel sees the same c the XLA mapping would
+            c_in = jnp.zeros_like(cam) if g.rk["c_gen_conditioning_zero"] else cam
+            ws = mapping_forward_pallas(
+                mn, gp["backbone"]["mapping"], z,
+                c_in * g.rk.get("c_scale", 0.0), truncation_psi)
         else:
-            ws = g.mapping(gp, z, jnp.zeros_like(gan_camera_params), truncation_psi=truncation_psi)
+            ws = g.mapping(gp, z, cam, truncation_psi=truncation_psi)
         planes = g.synthesis_planes(gp, ws, noise_mode="const")
         return planes, ws
 

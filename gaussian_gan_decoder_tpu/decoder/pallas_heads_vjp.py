@@ -133,8 +133,18 @@ def _heads_bwd_kernel(
                 axis=1)
             o = o + jnp.where(col < 3, init_w, 0.0)
         if stage_col + out_dim <= STAGE:
-            x = x.at[:, stage_col:stage_col + out_dim].set(
-                o[:, :out_dim].astype(compute_dtype))
+            # mask+concat column write: .at[:, a:b].set on a VALUE lowers
+            # to lax.scatter, which Mosaic cannot lower inside a TPU
+            # kernel (the inference kernel writes to its scratch REF
+            # instead; here x must stay a value for the xs[h] snapshots)
+            upd = jnp.concatenate(
+                [jnp.zeros((x.shape[0], stage_col), compute_dtype),
+                 o[:, :out_dim].astype(compute_dtype),
+                 jnp.zeros((x.shape[0], STAGE - stage_col - out_dim),
+                           compute_dtype)], axis=1)
+            mcol = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            x = jnp.where(
+                (mcol >= stage_col) & (mcol < stage_col + out_dim), upd, x)
 
     # -- reverse chain --------------------------------------------------------
     dout = dout_in[:].astype(jnp.float32)          # (BLK, 16)

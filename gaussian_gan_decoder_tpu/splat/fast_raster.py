@@ -38,6 +38,27 @@ from .projection import project_channels
 from .rasterize import RasterizeConfig
 
 
+def _expand_ids(counts, budget):
+    """Overflow-lane id expansion: slot p -> the gaussian i owning it
+    (offs[i] <= p < offs[i]+counts[i]), exactly `jnp.repeat(arange(N),
+    counts, total_repeat_length=budget)` — but via ONE merge-sort
+    (searchsorted method='sort') instead of repeat's scatter+gather
+    lowering. The scatter of N ones into the budget lane measured ~6 ms
+    at flagship (500k counts -> 2^17 slots); the (N+budget)-row sort
+    runs at streaming bandwidth (~1 ms). Returns (ids, offs, over_total);
+    slots past over_total hold N-1 — a finite garbage row exactly like
+    repeat's trailing pad (id N would make jnp.take's default 'fill' mode
+    emit NaN rows, and the blend kernel's masked-by-multiply reads turn
+    NaN * 0 into NaN)."""
+    cum = jnp.cumsum(counts)
+    offs = cum - counts
+    ids = jnp.searchsorted(
+        cum, jnp.arange(budget, dtype=counts.dtype), side="right",
+        method="sort",
+    ).astype(jnp.int32)
+    return jnp.minimum(ids, counts.shape[0] - 1), offs, cum[-1]
+
+
 def _tile_rects_ch(px, py, radius_f, grid_x, grid_y, tile_size):
     """CUDA getRect on channel vectors: clamped tile spans."""
     x0 = jnp.clip(((px - radius_f) / tile_size).astype(jnp.int32), 0, grid_x)
@@ -90,13 +111,8 @@ def build_pairs_ch(
     # ONE packed gather for all per-gaussian quantities (13 separate narrow
     # takes measured ~5 ms slower — per-row cost dominates gather time)
     counts_over = jnp.where(vis, jnp.maximum(area - static_copies, 0), 0)
-    over_total = jnp.sum(counts_over)
+    ids, offs, over_total = _expand_ids(counts_over, overflow_budget)
     n_dropped = jnp.maximum(0, over_total - overflow_budget)
-    offs = jnp.cumsum(counts_over) - counts_over
-    ids = jnp.repeat(
-        jnp.arange(N, dtype=jnp.int32), counts_over,
-        total_repeat_length=overflow_budget,
-    )
     # small ints and offsets are exact in f32 (< 2^24); depth rides as f32
     pack = jnp.stack(
         [base.astype(jnp.float32), rw1.astype(jnp.float32),
@@ -263,13 +279,8 @@ def build_pairs_packed(
 
     # -- overflow lane --------------------------------------------------------
     counts_over = jnp.where(vis, jnp.maximum(area - static_copies, 0), 0)
-    over_total = jnp.sum(counts_over)
+    ids, offs, over_total = _expand_ids(counts_over, overflow_budget)
     n_dropped = jnp.maximum(0, over_total - overflow_budget)
-    offs = jnp.cumsum(counts_over) - counts_over
-    ids = jnp.repeat(
-        jnp.arange(N, dtype=jnp.int32), counts_over,
-        total_repeat_length=overflow_budget,
-    )
     pack = jnp.stack(
         [base.astype(jnp.float32), rw1.astype(jnp.float32),
          offs.astype(jnp.float32), depth_pos, px, py, w_cacb, cc, w_rg, w_bop],

@@ -330,3 +330,33 @@ def test_decode_and_render_stream_matches_single():
         psnr = 10 * np.log10(1.0 / max(mse, 1e-14))
         assert psnr > 60.0, psnr
         assert np.abs(a - b).max() < 2e-3
+
+
+@pytest.mark.parametrize("budget_factor", [0.5, 2.0])
+def test_expand_ids_matches_repeat(budget_factor):
+    """The sort-based overflow-id expansion is integer-exact vs jnp.repeat
+    for every in-budget slot, both when the budget truncates (drops) and
+    when it pads (garbage slots are masked by valid_o in the callers)."""
+    from gaussian_gan_decoder_tpu.splat.fast_raster import _expand_ids
+
+    rng = np.random.default_rng(7)
+    N = 20_000
+    counts = jnp.asarray(
+        np.where(rng.random(N) < 0.03, rng.integers(1, 40, N), 0)
+        .astype(np.int32))
+    total = int(counts.sum())
+    budget = int(total * budget_factor)
+    ids, offs, over_total = _expand_ids(counts, budget)
+    ref = jnp.repeat(jnp.arange(N, dtype=jnp.int32), counts,
+                     total_repeat_length=budget)
+    valid = min(total, budget)
+    assert int(over_total) == total
+    np.testing.assert_array_equal(np.asarray(ids[:valid]),
+                                  np.asarray(ref[:valid]))
+    np.testing.assert_array_equal(
+        np.asarray(offs), np.asarray(jnp.cumsum(counts) - counts))
+    # past-the-end slots hold the finite N-1 pad (NOT N: jnp.take's 'fill'
+    # mode would turn id N into NaN rows that leak through the blend
+    # kernel's masked-by-multiply reads); the callers' valid_o mask covers
+    # their tile keys
+    assert (np.asarray(ids[valid:]) == N - 1).all()

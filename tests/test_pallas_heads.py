@@ -292,3 +292,54 @@ def test_heads_vjp_matches_xla_grads():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-3)
         np.testing.assert_allclose(b, a, atol=2e-4 * scale, rtol=2e-3)
+
+
+def test_pallas_mapping_matches_xla():
+    """Fused mapping kernel vs MappingNetwork.apply at flagship dims
+    (bf16 weights => ~1e-2 relative tolerance), incl. the c embed branch,
+    truncation lerp, and the num_ws broadcast."""
+    import numpy as np
+    from gaussian_gan_decoder_tpu.models.stylegan2 import MappingNetwork
+    from gaussian_gan_decoder_tpu.models.pallas_mapping import (
+        mapping_forward_pallas)
+
+    mn = MappingNetwork(z_dim=512, c_dim=25, w_dim=512, num_ws=14)
+    params = mn.init(jax.random.PRNGKey(0))
+    params["w_avg"] = jax.random.normal(jax.random.PRNGKey(9), (512,)) * 0.1
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    c = jax.random.normal(jax.random.PRNGKey(2), (2, 25))
+    for psi in (1.0, 0.6):
+        ref = mn.apply(params, z, c, truncation_psi=psi)
+        out = mapping_forward_pallas(mn, params, z, c, truncation_psi=psi)
+        assert out.shape == ref.shape == (2, 14, 512)
+        scale = np.abs(np.asarray(ref)).mean() + 1e-6
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max() / scale
+        assert err < 5e-2, err
+
+    # zero-camera decode convention (embed sees zeros)
+    ref = mn.apply(params, z, jnp.zeros_like(c), truncation_psi=0.8)
+    out = mapping_forward_pallas(mn, params, z, jnp.zeros_like(c),
+                                 truncation_psi=0.8)
+    scale = np.abs(np.asarray(ref)).mean() + 1e-6
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() / scale < 5e-2
+
+
+def test_decoder_pallas_mapping_flag():
+    """synthesize_planes with pallas_mapping=True matches the XLA mapping
+    path end-to-end through the planes (tiny generator, f32-dominated)."""
+    import dataclasses
+    import numpy as np
+    from tests.test_models_triplane import tiny_generator
+    from gaussian_gan_decoder_tpu.decoder.heads import GaussianDecoder
+
+    gen = tiny_generator("panohead")
+    dec = GaussianDecoder(generator=gen, decoder_type="sequential_reversed")
+    params = dec.init(jax.random.PRNGKey(0),
+                      generator_params=gen.init(jax.random.PRNGKey(1)))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 32))
+    cp = jnp.ones((1, 25))
+    ref, _ = dec.synthesize_planes(params, z, cp, 1.0)
+    dec_pm = dataclasses.replace(dec, pallas_mapping=True)
+    out, _ = dec_pm.synthesize_planes(params, z, cp, 1.0)
+    scale = np.abs(np.asarray(ref)).mean() + 1e-6
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() / scale < 5e-2
