@@ -109,10 +109,17 @@ def main():
         # its 1.8e-3 approx error sits under the int8 features' 2^-7 floor
         dec = _dcs2.replace(dec, slab_sampling=True,
                             gelu=os.environ.get("BENCH_GELU", "poly6"))
+        # host-pack disk cache (warm start skips the greedy pack; the jit
+        # compile cache above skips the tunnel compile). BENCH_SLAB_CACHE=0
+        # disables for cold-build timing studies.
+        cache_dir = os.environ.get("BENCH_SLAB_CACHE", "/tmp/slab_ctx_cache")
+        if cache_dir.strip().lower() in ("0", "false", "no"):
+            cache_dir = None
         t0 = time.perf_counter()
-        slab_ctx = dec.make_slab_context(init_pos)
+        slab_ctx = dec.make_slab_context(init_pos, cache_dir=cache_dir)
         jax.block_until_ready(slab_ctx.wzy)
-        print(f"slab context build: {time.perf_counter() - t0:.1f}s "
+        slab_build_s = round(time.perf_counter() - t0, 1)
+        print(f"slab context build: {slab_build_s}s "
               f"(one-time per template)", file=sys.stderr)
     # the ~440 MB wzy must reach jit as an ARGUMENT (constant-embedded
     # HLO hangs the tunnel compile helper); statics stay in the closure
@@ -217,7 +224,7 @@ def main():
         print(f"WARNING: n_dropped={nd} tile pairs exceeded "
               f"overflow_budget={rcfg.overflow_budget}", file=sys.stderr)
 
-    print(json.dumps({
+    rec = {
         "metric": f"decode+splat render {image_size}^2, {n_points} gaussians, frames/sec/chip",
         "value": round(fps, 3),
         "unit": "fps",
@@ -225,7 +232,12 @@ def main():
         # which cascade path actually ran: a regression in the fast path
         # must show up as a visible fallback, not a quiet fps drop
         "path": path_ran,
-    }))
+    }
+    if slab_ctx is not None and used_arr is not None:
+        # one-time template setup cost (VERDICT r3 item 4): visible in the
+        # record, not just a stderr print
+        rec["slab_build_s"] = slab_build_s
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -86,10 +86,14 @@ class _RangeMinMax:
 @dataclass(frozen=True)
 class PointBlocks:
     """Static packing of a point template for the slab decode kernel."""
-    perm: np.ndarray        # (M,) original index of each packed slot's point
+    perm: np.ndarray        # (M,) Morton sort order: perm[k] = original
+    #                         index of the k-th packed REAL point (slots
+    #                         include padding, so this is not per-slot)
     positions: np.ndarray   # (Mpad, 3) f32 permuted + zero-padded template
     origins: np.ndarray     # (n_blocks, 12) i32 (zt, yt, xt) per plane
     idxw: np.ndarray        # (32, Mpad) f32 per-point idx/weight rows
+    #                         (None when reconstructed from a compact
+    #                         cache — the device build then needs idx16)
     valid: np.ndarray       # (Mpad,) f32 1.0 real / 0.0 pad
     n_points: int           # real point count M
     block: int
@@ -105,8 +109,44 @@ class PointBlocks:
         return self.positions.shape[0]
 
 
+def compact_indices(pb: PointBlocks, plane_axes, box_warp, sizes) -> np.ndarray:
+    """(Mpad, 12) int16 compact host payload: per plane (ix, iy, iz)
+    padded-axis indices + one int16 of the 6 host validity bits
+    (vx0 vx1 vy0 vy1 vz0 vz1).
+
+    Validity must be the HOST's, recomputed from the TRUE (unclipped)
+    floor with the same math as the packer: where _corner_weights_1d's
+    clip binds (point far outside the grid) idxp - 1 is NOT the true
+    floor, so a device-side in-range check on it would wrongly validate
+    a garbage corner — the host bits zero those corners exactly.
+
+    This is the only host product the device weight build needs beyond
+    (origins, positions); it is what the slab-context disk cache stores
+    instead of the 32-row idxw block."""
+    D, H, W = sizes
+    inv = np.linalg.inv(plane_axes).astype(np.float32)
+    g_h = (2.0 / box_warp) * pb.positions
+    idx16 = np.zeros((pb.m_padded, 12), np.int16)
+    for p in range(3):
+        c0 = p * 9
+        idx16[:, 4 * p + 0] = pb.idxw[c0 + 0].astype(np.int16)
+        idx16[:, 4 * p + 1] = pb.idxw[c0 + 3].astype(np.int16)
+        idx16[:, 4 * p + 2] = pb.idxw[c0 + 6].astype(np.int16)
+        proj_h = g_h @ inv[p]
+        bits = np.zeros(pb.m_padded, np.int16)
+        for ax, size in ((0, W), (1, H), (2, D)):
+            x0t = np.floor(((proj_h[:, ax] + 1.0) * size - 1.0) * 0.5
+                           ).astype(np.int64)
+            v0 = (x0t >= 0) & (x0t < size)
+            v1 = (x0t + 1 >= 0) & (x0t + 1 < size)
+            bits = bits | (v0.astype(np.int16) << (2 * ax))
+            bits = bits | (v1.astype(np.int16) << (2 * ax + 1))
+        idx16[:, 4 * p + 3] = bits
+    return idx16
+
+
 def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
-                       sizes=None):
+                       sizes=None, idx16=None):
     """On-device build of the static per-point interpolation operands the
     slab kernel consumes (built once per template; a host-numpy build +
     tunnel transfer of the ~440 MB wzy measured minutes):
@@ -169,34 +209,10 @@ def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
         return build(jnp.asarray(pb.origins), jnp.asarray(pb.idxw))
 
     D, H, W = sizes
+    if idx16 is None:
+        idx16 = compact_indices(pb, plane_axes, box_warp, sizes)
     import numpy as np
     inv = np.linalg.inv(plane_axes).astype(np.float32)
-    # compact host payload per plane: (ix, iy, iz) int16 + one int16 of
-    # the 6 host validity bits (vx0 vx1 vy0 vy1 vz0 vz1). Validity must be
-    # the HOST's: where _corner_weights_1d's clip binds (point far outside
-    # the grid), idxp - 1 is NOT the true floor and a device-recomputed
-    # weight would be garbage — the host bits zero those corners exactly.
-    # validity comes from the TRUE (unclipped) floor, recomputed with the
-    # same host math as the packer — where _corner_weights_1d's clip bound
-    # (point far outside the grid) idxp-1 is NOT the true floor and an
-    # in-range check on it would wrongly validate a garbage corner
-    g_h = (2.0 / box_warp) * pb.positions
-    idx16 = np.zeros((pb.m_padded, 12), np.int16)
-    for p in range(3):
-        c0 = p * 9
-        idx16[:, 4 * p + 0] = pb.idxw[c0 + 0].astype(np.int16)
-        idx16[:, 4 * p + 1] = pb.idxw[c0 + 3].astype(np.int16)
-        idx16[:, 4 * p + 2] = pb.idxw[c0 + 6].astype(np.int16)
-        proj_h = g_h @ inv[p]
-        bits = np.zeros(pb.m_padded, np.int16)
-        for ax, size in ((0, W), (1, H), (2, D)):
-            x0t = np.floor(((proj_h[:, ax] + 1.0) * size - 1.0) * 0.5
-                           ).astype(np.int64)
-            v0 = (x0t >= 0) & (x0t < size)
-            v1 = (x0t + 1 >= 0) & (x0t + 1 < size)
-            bits = bits | (v0.astype(np.int16) << (2 * ax))
-            bits = bits | (v1.astype(np.int16) << (2 * ax + 1))
-        idx16[:, 4 * p + 3] = bits
 
     @jax.jit
     def build(origins, idx16, positions):
@@ -340,10 +356,8 @@ def build_point_blocks(
     idxw = np.zeros((32, Mpad), np.float32)
     valid = np.zeros((Mpad,), np.float32)
     origins = np.zeros((nb, 12), np.int32)
-    slot_of = np.zeros(M, np.int64)
     for b, (s, e) in enumerate(zip(starts, ends)):
         sl = slice(b * block, b * block + (e - s))
-        slot_of[s:e] = np.arange(b * block, b * block + (e - s))
         positions[sl] = pos[order[s:e]]
         valid[sl] = 1.0
         for p in range(3):

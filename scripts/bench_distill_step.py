@@ -6,6 +6,15 @@ import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 
+# persistent compile cache, same rationale as bench.py: the tunnel compile
+# helper costs tens of minutes per fresh train-step program — the round-3
+# sweep rows died on exactly this (VERDICT r3 item 2). Entries key on HLO,
+# so knob changes never read stale binaries. DS_NO_CACHE=1 disables.
+if not os.environ.get("DS_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DS_CACHE_DIR", "/tmp/jax_cache_distill"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from gaussian_gan_decoder_tpu.decoder.target_pipeline import TargetSamplerConfig
 from gaussian_gan_decoder_tpu.flagship import flagship_generator
 from gaussian_gan_decoder_tpu.decoder.heads import GaussianDecoder

@@ -10,6 +10,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# same persistent compile cache rationale as bench.py (tunnel compiles
+# cost minutes per fresh stage program)
+if not os.environ.get("PROF_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PROF_CACHE_DIR", "/tmp/jax_cache_ablate"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from gaussian_gan_decoder_tpu.flagship import (
     default_camera_params, flagship_decoder, flagship_generator,
     flagship_raster_config,
@@ -34,7 +41,9 @@ def main():
                       generator_params=dec.generator.init(jax.random.PRNGKey(1)))
     cp, cam2world = default_camera_params()
     init_pos = (jax.random.uniform(jax.random.PRNGKey(2), (500_000, 3)) - 0.5) * 0.4
-    slab_ctx = dec.make_slab_context(init_pos) if dec.slab_sampling else None
+    slab_ctx = (dec.make_slab_context(init_pos,
+                                      cache_dir="/tmp/slab_ctx_cache")
+                if dec.slab_sampling else None)
     # the ~440 MB wzy must be a jit ARGUMENT (constant-embedded HLO hangs
     # the tunnel compile helper)
     slab_arr = (None if slab_ctx is None else

@@ -216,3 +216,34 @@ def test_slab_weights_reconstruct_lerp():
     v = pb.valid > 0
     err = np.max(np.abs(out[v] - ref[v])) / max(np.abs(ref[v]).max(), 1e-6)
     assert err < 2e-2, err  # bf16 weight rounding
+
+
+def test_slab_context_disk_cache(tmp_path):
+    """A warm make_slab_context (host pack loaded from the npz cache)
+    reproduces the cold build bit-exactly, and a different template or
+    block size never reads a stale entry (key covers both)."""
+    gen = _small_gen()
+    dec = GaussianDecoder(
+        generator=gen, decoder_type="sequential_reversed",
+        int8_sampling=True, pallas_heads=True, heads_bf16=True,
+        gelu="poly", slab_sampling=True,
+    )
+    pos = jnp.asarray(_template(1500, seed=3))
+    cold = dec.make_slab_context(pos, block=256)
+    d = str(tmp_path)
+    miss = dec.make_slab_context(pos, block=256, cache_dir=d)  # writes
+    files = list(tmp_path.glob("slab_pack_*.npz"))
+    assert len(files) == 1
+    warm = dec.make_slab_context(pos, block=256, cache_dir=d)  # reads
+    for k in ("origins", "wzy", "axs", "aux", "positions", "valid",
+              "inv_slot"):
+        np.testing.assert_array_equal(np.asarray(cold[k]), np.asarray(warm[k]))
+        np.testing.assert_array_equal(np.asarray(cold[k]), np.asarray(miss[k]))
+    for k in ("n_points", "block", "ey", "ex", "cond_dim", "m_padded"):
+        assert cold[k] == warm[k] == miss[k]
+    np.testing.assert_array_equal(cold.perm, warm.perm)
+    # key sensitivity: new template / new block -> new cache entries
+    dec.make_slab_context(jnp.asarray(_template(1500, seed=4)), block=256,
+                          cache_dir=d)
+    dec.make_slab_context(pos, block=512, cache_dir=d)
+    assert len(list(tmp_path.glob("slab_pack_*.npz"))) == 3
