@@ -97,16 +97,18 @@ def _tet_case_tables():
 _TRI_A, _TRI_B, _TRI_VALID = _tet_case_tables()
 
 
-@partial(jax.jit, static_argnames=("face_capacity",))
+@partial(jax.jit, static_argnames=("face_capacity", "two_stage"))
 def marching_tetrahedra_faces(
     sigmas: jax.Array,      # (R, R, R)
     level: float = 10.0,
     face_capacity: int = 2 ** 20,
+    two_stage: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (verts (face_capacity, 3, 3) normalised coords, n_faces scalar).
 
     Vertex coords follow the reference normalisation idx/R - 0.5."""
-    packed, n_faces = _marching_tetrahedra_packed(sigmas, level, face_capacity)
+    packed, n_faces = _marching_tetrahedra_packed(
+        sigmas, level, face_capacity, two_stage=two_stage)
     R = sigmas.shape[0]
     verts = packed[:, :9].reshape(-1, 3, 3) / R - 0.5
     return verts, n_faces
@@ -135,7 +137,22 @@ def _combo_table():
 _COMBO_TAB = _combo_table()
 
 
-def _marching_tetrahedra_packed(sigmas, level, face_capacity):
+def _corner_values(sigmas):
+    """(8, C) corner sigma vectors over the (R-1)^3 cubes."""
+    R = sigmas.shape[0]
+    C = (R - 1) ** 3
+    slices = []
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                slices.append(
+                    jax.lax.slice(sigmas, (i, j, k), (i + R - 1, j + R - 1, k + R - 1))
+                )
+    return jnp.stack([s.reshape(C) for s in slices], axis=0)
+
+
+def _marching_tetrahedra_packed(sigmas, level, face_capacity,
+                                two_stage=False, cube_capacity=2 ** 18):
     """-> (packed (F, 16) f32: cols 0..8 = the 3 vertices' xyz in INDEX
     space, 9.. zero; n_faces).
 
@@ -146,48 +163,86 @@ def _marching_tetrahedra_packed(sigmas, level, face_capacity):
     flagship). Here every per-face quantity is a (F,) vector; all static
     per-(tet, tri, case, vert) lookups collapse into ONE (192, 24)
     combo-row gather and the 8 corner sigmas of each face's cube arrive
-    in ONE (F, 8) row gather."""
+    in ONE (F, 8) row gather.
+
+    two_stage=True is the fast variant (PERFORMANCE.md r4): compact the
+    CROSSED CUBES first (one 1-operand sort over C = 2.05M rows at 128^3),
+    then compact faces over 12*cube_capacity = 3.1M slots instead of the
+    12*C = 24.6M slot space, carrying (combo, cube id) as sort PAYLOADS —
+    which also deletes the post-sort cases[tt//2, cube] 2-D gather (the
+    multi-dim-gather 100x trap, PERFORMANCE.md cost model #3). Crossed
+    cubes beyond cube_capacity are dropped (and excluded from n_faces);
+    a closed 128^3 head surface crosses ~100k cubes vs the 2^18 default.
+    """
     R = sigmas.shape[0]
     C = (R - 1) ** 3
+    INF = jnp.int32(0x7FFFFFFF)
 
-    # corner values (8, C)
-    slices = []
-    for i in (0, 1):
-        for j in (0, 1):
-            for k in (0, 1):
-                slices.append(
-                    jax.lax.slice(sigmas, (i, j, k), (i + R - 1, j + R - 1, k + R - 1))
-                )
-    v = jnp.stack([s.reshape(C) for s in slices], axis=0)  # (8, C)
-    inside = v > level
+    v = _corner_values(sigmas)                            # (8, C)
 
-    # cases + validity per tet, (6, C) — validity via POPCOUNT arithmetic:
-    # a table lookup _TRI_VALID[cases] is 12.3M scalar-row gathers
-    cases = jnp.zeros((6, C), jnp.int32)
-    valid0 = jnp.zeros((6, C), jnp.bool_)
-    valid1 = jnp.zeros((6, C), jnp.bool_)
-    for t in range(6):
-        b = [inside[_TETS[t, i]].astype(jnp.int32) for i in range(4)]
-        case_t = b[0] + (b[1] << 1) + (b[2] << 2) + (b[3] << 3)
-        n_in = b[0] + b[1] + b[2] + b[3]
-        cases = cases.at[t].set(case_t)
-        valid0 = valid0.at[t].set((n_in > 0) & (n_in < 4))
-        valid1 = valid1.at[t].set(n_in == 2)
-    flat_valid = jnp.concatenate(
-        [v.reshape(-1) for pair in zip(valid0, valid1) for v in pair]
-    )  # order (tet, tri, cube) — cube fastest, matches tri_idx decode below
-    n_faces = jnp.sum(flat_valid.astype(jnp.int32))
+    if two_stage:
+        CC = min(cube_capacity, C)
+        inside8 = [(v[c] > level).astype(jnp.int32) for c in range(8)]
+        n_in8 = sum(inside8)
+        crossed = (n_in8 > 0) & (n_in8 < 8)
+        iota_c = jnp.arange(C, dtype=jnp.int32)
+        key_a = jnp.where(crossed, iota_c, INF)
+        cube_ids_raw = jax.lax.sort([key_a], num_keys=1)[0][:CC]
+        cube_fill = cube_ids_raw == INF
+        cube_ids = jnp.where(cube_fill, 0, cube_ids_raw)
 
-    # fixed-capacity compaction by SORT, not jnp.nonzero: nonzero lowers to
-    # a 24.6M-row element scatter (~hundreds of ms); a 2-operand sort moves
-    # the indices at streaming bandwidth
-    iota = jnp.arange(flat_valid.shape[0], dtype=jnp.int32)
-    inv_key = jnp.where(flat_valid, iota, jnp.int32(0x7FFFFFFF))
-    tri_idx = jax.lax.sort([inv_key], num_keys=1)[0][:face_capacity]
-    tri_idx = jnp.where(tri_idx == 0x7FFFFFFF, 0, tri_idx)
-    cube = tri_idx % C
-    tt = tri_idx // C
-    combo = tt * 16 + cases[tt // 2, cube]               # (tet*2+tri)*16+case
+        v8 = jnp.take(v.T, cube_ids, axis=0)             # (CC, 8)
+        ins = [(v8[:, c] > level).astype(jnp.int32) for c in range(8)]
+        keys, combos, cids = [], [], []
+        base = jnp.arange(CC, dtype=jnp.int32)
+        for tt in range(12):
+            t, tri = tt // 2, tt % 2
+            b = [ins[_TETS[t, i]] for i in range(4)]
+            case_t = b[0] + (b[1] << 1) + (b[2] << 2) + (b[3] << 3)
+            n_in = b[0] + b[1] + b[2] + b[3]
+            val = ((n_in > 0) & (n_in < 4)) if tri == 0 else (n_in == 2)
+            val = val & ~cube_fill
+            keys.append(jnp.where(val, tt * CC + base, INF))
+            combos.append(tt * 16 + case_t)
+            cids.append(cube_ids)
+        key_b = jnp.concatenate(keys)
+        n_faces = jnp.sum((key_b != INF).astype(jnp.int32))
+        k_s, combo, cube = jax.lax.sort(
+            [key_b, jnp.concatenate(combos), jnp.concatenate(cids)],
+            num_keys=1)
+        fill = k_s[:face_capacity] == INF
+        combo = jnp.where(fill, 0, combo[:face_capacity])
+        cube = jnp.where(fill, 0, cube[:face_capacity])
+    else:
+        inside = v > level
+        # cases + validity per tet, (6, C) — validity via POPCOUNT
+        # arithmetic: a table lookup _TRI_VALID[cases] is 12.3M scalar-row
+        # gathers
+        cases = jnp.zeros((6, C), jnp.int32)
+        valid0 = jnp.zeros((6, C), jnp.bool_)
+        valid1 = jnp.zeros((6, C), jnp.bool_)
+        for t in range(6):
+            b = [inside[_TETS[t, i]].astype(jnp.int32) for i in range(4)]
+            case_t = b[0] + (b[1] << 1) + (b[2] << 2) + (b[3] << 3)
+            n_in = b[0] + b[1] + b[2] + b[3]
+            cases = cases.at[t].set(case_t)
+            valid0 = valid0.at[t].set((n_in > 0) & (n_in < 4))
+            valid1 = valid1.at[t].set(n_in == 2)
+        flat_valid = jnp.concatenate(
+            [x.reshape(-1) for pair in zip(valid0, valid1) for x in pair]
+        )  # order (tet, tri, cube) — cube fastest, matches tri_idx decode
+        n_faces = jnp.sum(flat_valid.astype(jnp.int32))
+
+        # fixed-capacity compaction by SORT, not jnp.nonzero: nonzero
+        # lowers to a 24.6M-row element scatter (~hundreds of ms); a sort
+        # moves the indices at streaming bandwidth
+        iota = jnp.arange(flat_valid.shape[0], dtype=jnp.int32)
+        inv_key = jnp.where(flat_valid, iota, INF)
+        tri_idx = jax.lax.sort([inv_key], num_keys=1)[0][:face_capacity]
+        tri_idx = jnp.where(tri_idx == INF, 0, tri_idx)
+        cube = tri_idx % C
+        tt = tri_idx // C
+        combo = tt * 16 + cases[tt // 2, cube]           # (tet*2+tri)*16+case
 
     crow = jnp.take(jnp.asarray(_COMBO_TAB), combo, axis=0)  # (F, 24)
     vrow = jnp.take(v.T, cube, axis=0)                   # (F, 8) corner sigmas
@@ -234,11 +289,13 @@ def marching_tetrahedra_sample(
     n_points: int = 500_000,
     surface_thickness: float = 0.1,
     face_capacity: int = 2 ** 20,
+    two_stage: bool = False,
 ) -> jax.Array:
     """Surface point cloud (n_points, 3) like the reference's
     marching-cubes + barycentric + thickness pipeline."""
     kf, kw, ks = jax.random.split(key, 3)
-    packed, n_faces = _marching_tetrahedra_packed(sigmas, level, face_capacity)
+    packed, n_faces = _marching_tetrahedra_packed(
+        sigmas, level, face_capacity, two_stage=two_stage)
     R = sigmas.shape[0]
     n_eff = jnp.maximum(jnp.minimum(n_faces, face_capacity), 1)
 

@@ -50,6 +50,10 @@ class TargetSamplerConfig:
     num_points: int = 500_000
     mc_level: float = 10.0
     face_capacity: int = 2 ** 20
+    mt_two_stage: bool = False  # two-stage crossed-cube compaction in the
+    # marching-tetrahedra pack (surface.py): ~7x smaller compaction sorts
+    # + no 2-D case gather. Default off until hardware-measured
+    # (PERFORMANCE.md protocol).
     sigma_chunk: int = 2 ** 18
     neural_rendering_resolution: int = 64
 
@@ -125,7 +129,7 @@ def sample_target(
         result.vertices = marching_tetrahedra_sample(
             k_surf, sigmas, level=cfg.mc_level, n_points=cfg.num_points,
             surface_thickness=cfg.surface_thickness,
-            face_capacity=cfg.face_capacity)
+            face_capacity=cfg.face_capacity, two_stage=cfg.mt_two_stage)
         result.gan_camera_params = camera_params
         result.ws = jax.lax.stop_gradient(ws)
         return result
@@ -159,6 +163,7 @@ def sample_target(
             n_points=cfg.num_points,
             surface_thickness=cfg.surface_thickness,
             face_capacity=cfg.face_capacity,
+            two_stage=cfg.mt_two_stage,
         )
     else:
         # sigma>10 voxel filter path (ref :120-122), fixed capacity via

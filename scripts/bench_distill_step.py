@@ -79,6 +79,7 @@ def main():
         bf16_probe=_env_flag("DS_BF16_PROBE"),
         int8_probe=_env_flag("DS_INT8_PROBE"),
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
+        mt_two_stage=_env_flag("DS_MT2"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )
@@ -135,6 +136,7 @@ def stage_ablate():
         bf16_probe=_env_flag("DS_BF16_PROBE"),
         int8_probe=_env_flag("DS_INT8_PROBE"),
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
+        mt_two_stage=_env_flag("DS_MT2"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )
@@ -197,7 +199,8 @@ def stage_ablate():
         v = marching_tetrahedra_sample(k, sig, level=tcfg.mc_level,
                                        n_points=tcfg.num_points,
                                        surface_thickness=tcfg.surface_thickness,
-                                       face_capacity=tcfg.face_capacity)
+                                       face_capacity=tcfg.face_capacity,
+                                       two_stage=tcfg.mt_two_stage)
         return jnp.sum(v[:8])
     timed("+ marching tetrahedra", f_tetra)
 

@@ -190,6 +190,66 @@ def test_marching_tetrahedra_face_count_and_thickness():
     assert norms.std() > 0.005
 
 
+def test_marching_tetrahedra_two_stage_parity():
+    """two_stage=True (crossed-cube pre-compaction + payload-carried
+    combos) must produce the SAME face set as the reference single-sort
+    pack — only the face ORDER may differ."""
+    from gaussian_gan_decoder_tpu.decoder.surface import (
+        _marching_tetrahedra_packed)
+
+    R = 32
+    grid = np.asarray(create_samples(R, 1.0))[0].reshape(R, R, R, 3)
+    # lumpy blob: sphere + sinus bumps, plus values poking out of range
+    dist = np.linalg.norm(grid, axis=-1)
+    bumps = 0.05 * np.sin(grid[..., 0] * 37) * np.cos(grid[..., 1] * 29)
+    sigmas = jnp.asarray(60.0 * (0.37 + bumps - dist))
+    cap = 2 ** 16
+    p_ref, n_ref = _marching_tetrahedra_packed(sigmas, 10.0, cap)
+    p_two, n_two = _marching_tetrahedra_packed(sigmas, 10.0, cap,
+                                               two_stage=True)
+    assert int(n_ref) == int(n_two)
+    n = int(n_ref)
+    assert 0 < n < cap  # capacities not binding — sets must match exactly
+    a = np.asarray(p_ref)[:n, :9]
+    b = np.asarray(p_two)[:n, :9]
+    # canonical face key: sorted rows of both sets (lexsort by all 9 cols)
+    a = a[np.lexsort(a.T)]
+    b = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # sampled clouds are statistically identical: same face sets, uniform
+    # face choice — compare means/extents loosely
+    s_ref = np.asarray(marching_tetrahedra_sample(
+        jax.random.PRNGKey(0), sigmas, 10.0, n_points=20_000,
+        surface_thickness=0.0, face_capacity=cap))
+    s_two = np.asarray(marching_tetrahedra_sample(
+        jax.random.PRNGKey(0), sigmas, 10.0, n_points=20_000,
+        surface_thickness=0.0, face_capacity=cap, two_stage=True))
+    np.testing.assert_allclose(s_ref.mean(0), s_two.mean(0), atol=5e-3)
+    np.testing.assert_allclose(
+        np.linalg.norm(s_ref, axis=1).mean(),
+        np.linalg.norm(s_two, axis=1).mean(), atol=5e-3)
+
+
+def test_marching_tetrahedra_two_stage_cube_overflow():
+    """Crossed cubes beyond cube_capacity are dropped and excluded from
+    n_faces (bounded, observable degradation — not garbage faces)."""
+    from gaussian_gan_decoder_tpu.decoder.surface import (
+        _marching_tetrahedra_packed)
+
+    R = 16
+    grid = np.asarray(create_samples(R, 1.0))[0].reshape(R, R, R, 3)
+    dist = np.linalg.norm(grid, axis=-1)
+    sigmas = jnp.asarray(60.0 * (0.3 - dist))
+    _, n_full = _marching_tetrahedra_packed(sigmas, 10.0, 2 ** 14,
+                                            two_stage=True)
+    packed, n_cap = _marching_tetrahedra_packed(
+        sigmas, 10.0, 2 ** 14, two_stage=True, cube_capacity=64)
+    assert 0 < int(n_cap) < int(n_full)
+    # packed rows beyond n_cap are clipped fill, not NaN/garbage
+    assert np.isfinite(np.asarray(packed)).all()
+
+
 def test_no_finetune_plane_reuse_equivalence():
     """train.distill reuses the FROZEN target's feature planes when
     use_gen_finetune=False (the copy's params never diverge and the
