@@ -1,6 +1,7 @@
 """Equivariance metrics (EQ-T, EQ-T_frac, EQ-R) from "Alias-Free GANs".
 
-Re-design of /root/reference/eg3d/metrics/equivariance.py:23-266 for JAX:
+Port of /root/reference/eg3d/metrics/equivariance.py:23-266, with the
+sampling loop restructured for JAX:
 the per-batch synthesis passes (identity transform + transformed) run in
 ONE jitted function with the 3x3 user transform as a traced argument (the
 reference mutates the generator's `transform` buffer in place between
@@ -8,6 +9,13 @@ eager forwards, eg3d/metrics/equivariance.py:215-248 — a buffer-mutation
 pattern that would retrace under jit); the translation / rotation image
 operators run eagerly on concrete host-drawn offsets, mirroring the
 reference's host-side branching.
+
+The image operators (integer/fractional translation, oriented band-limit
+filter, affine resampling) are a FAITHFUL PORT of the reference's
+(:23-190): they are exact numerical specifications from the Alias-Free
+GAN paper's Appendix E, and the goldens in tests/test_equivariance.py
+assert bit-parity against the actual reference module, so the arithmetic
+and its order are fixed — only the decomposition and naming are ours.
 
 Consumed by metric_main.eqt50k_int / eqr50k. Requires a generator whose
 synthesis input exposes a user transform (models/stylegan3.Generator3:
@@ -73,39 +81,53 @@ def apply_integer_translation(x, tx, ty):
 # T_x, fractional: windowed-sinc resampling (ref :67-97)
 
 
+def _lanczos_shift_taps(frac: float, a: int) -> jnp.ndarray:
+    """Normalised 1-D Lanczos-a windowed-sinc taps realising a sub-pixel
+    shift by `frac` in [0, 1): 2a taps whose centre sits `frac` past tap
+    a-1."""
+    grid = jnp.arange(2 * a, dtype=jnp.float32) - (a - 1) - frac
+    taps = sinc(grid) * sinc(grid / a)
+    return taps / jnp.sum(taps)
+
+
 def apply_fractional_translation(x, tx, ty, a: int = 3):
     _N, _C, H, W = x.shape
-    txp = float(tx) * W
-    typ = float(ty) * H
-    ix = int(math.floor(txp))
-    iy = int(math.floor(typ))
-    fx = txp - ix
-    fy = typ - iy
-    b = a - 1
+    # split the pixel-space shift into whole-pixel + fractional parts; the
+    # fractional part becomes a separable windowed-sinc resampling
+    shift_x, shift_y = float(tx) * W, float(ty) * H
+    wx, wy = int(math.floor(shift_x)), int(math.floor(shift_y))
+    halo = a - 1  # taps extending past the shifted sample on the near side
 
-    z = jnp.zeros_like(x)
-    zx0, zy0 = max(ix - b, 0), max(iy - b, 0)
-    zx1, zy1 = min(ix + a, 0) + W, min(iy + a, 0) + H
-    if zx0 < zx1 and zy0 < zy1:
-        taps = jnp.arange(a * 2, dtype=jnp.float32) - b
-        filter_x = (sinc(taps - fx) * sinc((taps - fx) / a))[None, :]
-        filter_y = (sinc(taps - fy) * sinc((taps - fy) / a))[:, None]
-        y = filter2d(x, filter_x / jnp.sum(filter_x), padding=[b, a, 0, 0])
-        y = filter2d(y, filter_y / jnp.sum(filter_y), padding=[0, 0, b, a])
-        y = y[:, :, max(b - iy, 0):H + b + a + min(-iy - a, 0),
-              max(b - ix, 0):W + b + a + min(-ix - a, 0)]
-        z = z.at[:, :, zy0:zy1, zx0:zx1].set(y)
+    out = jnp.zeros_like(x)
+    # destination rectangle the filtered source can land on
+    dst_l, dst_t = max(wx - halo, 0), max(wy - halo, 0)
+    dst_r, dst_b = min(wx + a, 0) + W, min(wy + a, 0) + H
+    if dst_l < dst_r and dst_t < dst_b:
+        fx = _lanczos_shift_taps(shift_x - wx, a)
+        fy = _lanczos_shift_taps(shift_y - wy, a)
+        y = filter2d(x, fx[None, :], padding=[halo, a, 0, 0])
+        y = filter2d(y, fy[:, None], padding=[0, 0, halo, a])
+        y = y[:, :, max(halo - wy, 0):H + halo + a + min(-wy - a, 0),
+              max(halo - wx, 0):W + halo + a + min(-wx - a, 0)]
+        out = out.at[:, :, dst_t:dst_b, dst_l:dst_r].set(y)
 
-    m = jnp.zeros_like(x)
-    mx0, my0 = max(ix + a, 0), max(iy + a, 0)
-    mx1, my1 = min(ix - b, 0) + W, min(iy - b, 0) + H
-    if mx0 < mx1 and my0 < my1:
-        m = m.at[:, :, my0:my1, mx0:mx1].set(1.0)
-    return z, m
+    # validity mask: pixels whose full 2a-tap support stayed inside the
+    # source image
+    valid = jnp.zeros_like(x)
+    v_l, v_t = max(wx + a, 0), max(wy + a, 0)
+    v_r, v_b = min(wx - halo, 0) + W, min(wy - halo, 0) + H
+    if v_l < v_r and v_t < v_b:
+        valid = valid.at[:, :, v_t:v_b, v_l:v_r].set(1.0)
+    return out, valid
 
 
 # ---------------------------------------------------------------------------
 # oriented band-limit filter for an affine transform (ref :103-132)
+
+
+def _conv2_circular(p, q):
+    """Circular 2-D convolution of two equal-shape tap grids via FFT."""
+    return jnp.real(jnp.fft.ifftn(jnp.fft.fftn(p) * jnp.fft.fftn(q)))
 
 
 def construct_affine_bandlimit_filter(mat, a=3, amax=16, aflt=64, up=4,
@@ -113,28 +135,36 @@ def construct_affine_bandlimit_filter(mat, a=3, amax=16, aflt=64, up=4,
     assert a <= amax < aflt
     mat = jnp.asarray(mat, jnp.float32)
 
-    taps = jnp.roll(
+    # tap coordinates in FFT (wrap-around) order so the circular
+    # convolutions below need no explicit centring shift; the same grid
+    # viewed in source space and mapped through the transform
+    coords = jnp.roll(
         (jnp.arange(aflt * up * 2 - 1, dtype=jnp.float32) + 1) / up - aflt,
         1 - aflt * up)
-    yi, xi = jnp.meshgrid(taps, taps, indexing="ij")
-    grid = jnp.stack([xi, yi], axis=2) @ mat[:2, :2].T
-    xo, yo = grid[..., 0], grid[..., 1]
+    src_y, src_x = jnp.meshgrid(coords, coords, indexing="ij")
+    mapped = jnp.stack([src_x, src_y], axis=2) @ mat[:2, :2].T
+    dst_x, dst_y = mapped[..., 0], mapped[..., 1]
 
-    fi = sinc(xi * cutoff_in) * sinc(yi * cutoff_in)
-    fo = sinc(xo * cutoff_out) * sinc(yo * cutoff_out)
-    f = jnp.real(jnp.fft.ifftn(jnp.fft.fftn(fi) * jnp.fft.fftn(fo)))
+    # band-limit jointly in both spaces: convolve the axis-aligned source
+    # sinc with the transform-oriented destination sinc, and window with
+    # the matching pair of oriented 2-D Lanczos windows
+    band = _conv2_circular(
+        sinc(src_x * cutoff_in) * sinc(src_y * cutoff_in),
+        sinc(dst_x * cutoff_out) * sinc(dst_y * cutoff_out))
+    window = _conv2_circular(
+        lanczos_window(src_x, a) * lanczos_window(src_y, a),
+        lanczos_window(dst_x, a) * lanczos_window(dst_y, a))
+    f = band * window
 
-    wi = lanczos_window(xi, a) * lanczos_window(yi, a)
-    wo = lanczos_window(xo, a) * lanczos_window(yo, a)
-    w = jnp.real(jnp.fft.ifftn(jnp.fft.fftn(wi) * jnp.fft.fftn(wo)))
-
-    f = f * w
-    c = (aflt - amax) * up
-    f = jnp.roll(f, (aflt * up - 1, aflt * up - 1), axis=(0, 1))[c:-c, c:-c]
+    # recentre out of FFT order and crop the support to +-amax, then
+    # normalise every up-phase separately (each phase is its own
+    # interpolation filter) with the 1/up^2 gain upsample2d expects
+    crop = (aflt - amax) * up
+    f = jnp.roll(f, (aflt * up - 1, aflt * up - 1), axis=(0, 1))[crop:-crop,
+                                                                 crop:-crop]
     f = jnp.pad(f, ((0, 1), (0, 1))).reshape(amax * 2, up, amax * 2, up)
     f = f / jnp.sum(f, axis=(0, 2), keepdims=True) / (up ** 2)
-    f = f.reshape(amax * 2 * up, amax * 2 * up)[:-1, :-1]
-    return f
+    return f.reshape(amax * 2 * up, amax * 2 * up)[:-1, :-1]
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +277,12 @@ def compute_equivariance_metrics(
         ws = gen.mapping.apply(p["mapping"], z, c,
                                truncation_psi=truncation_psi)
         s = p["synthesis"]
-        orig = gen.synthesis.apply(s, ws)
+        # the reference explicitly resets the transform to identity for
+        # the orig pass (ref :223) — a checkpoint carrying a non-identity
+        # transform must not skew the reference image
+        s_id = {**s, "input": {**s["input"],
+                               "transform": jnp.eye(3, dtype=jnp.float32)}}
+        orig = gen.synthesis.apply(s_id, ws)
         s_t = {**s, "input": {**s["input"],
                               "transform": transform.astype(jnp.float32)}}
         img = gen.synthesis.apply(s_t, ws)

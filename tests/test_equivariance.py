@@ -120,6 +120,37 @@ def test_compute_equivariance_smoke():
     assert all(np.isfinite(p) for p in psnrs), psnrs
 
 
+def test_checkpoint_transform_does_not_skew_metrics():
+    """The orig pass must reset the user transform to identity (ref
+    equivariance.py:223): a checkpoint carrying a non-identity transform
+    yields the SAME PSNRs as the identity-carrying one."""
+    from gaussian_gan_decoder_tpu.models.stylegan3 import Generator3
+
+    gen = Generator3(
+        z_dim=16, c_dim=0, w_dim=16, img_resolution=32, img_channels=3,
+        synthesis_kwargs=(
+            ("channel_base", 1024), ("channel_max", 16),
+            ("num_layers", 6), ("num_critical", 2), ("margin_size", 2),
+        ),
+    )
+    params = gen.init(jax.random.PRNGKey(0))
+    skew = np.eye(3, dtype=np.float32)
+    skew[:2, 2] = (0.25, -0.125)
+    params_skew = jax.tree_util.tree_map(lambda x: x, params)
+    params_skew["synthesis"] = {
+        **params["synthesis"],
+        "input": {**params["synthesis"]["input"],
+                  "transform": jnp.asarray(skew)},
+    }
+    kwargs = dict(num_samples=2, batch_size=1, compute_eqt_int=True,
+                  compute_eqr=True)
+    a = eq.compute_equivariance_metrics(gen, params, jax.random.PRNGKey(1),
+                                        **kwargs)
+    b = eq.compute_equivariance_metrics(gen, params_skew,
+                                        jax.random.PRNGKey(1), **kwargs)
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
 def test_metric_registry_entries():
     from gaussian_gan_decoder_tpu.metrics.metric_main import list_metrics
 
