@@ -188,6 +188,16 @@ def decode_and_render(
             decoded = EasyDict({
                 name: r16[c:c + d].T for name, (c, d) in layout.items()
             })
+            # aux radii/visibility_filter come out of render_rows sliced
+            # [:n_points] in SLOT order (pad slots included) — rebuild
+            # them from the full Mpad rows in template order so they stay
+            # consistent with `decoded`
+            from .decoder.pallas_heads import PROJ_ROWS
+
+            out["radii"] = (rows[PROJ_ROWS["radius_f"]][slab_ctx.inv_slot]
+                            .astype(jnp.int32))
+            out["visibility_filter"] = (
+                rows[PROJ_ROWS["visible"]] > 0.5)[slab_ctx.inv_slot]
         else:
             decoded = EasyDict({
                 name: rows[c:c + d, :M].T for name, (c, d) in layout.items()

@@ -554,6 +554,9 @@ class Generator:
     num_fp16_res: int = 4
     conv_clamp: Optional[float] = 256.0
     mapping_kwargs: Tuple[Tuple[str, Any], ...] = ()
+    architecture: str = "skip"  # 'orig' = progressive-growing-era blocks
+    # (single final ToRGB, no per-block skips) — needed to load converted
+    # TF 'orig' checkpoints (port/tf_legacy.py)
 
     @property
     def synthesis(self) -> SynthesisNetwork:
@@ -565,6 +568,7 @@ class Generator:
             channel_max=self.channel_max,
             num_fp16_res=self.num_fp16_res,
             conv_clamp=self.conv_clamp,
+            architecture=self.architecture,
         )
 
     @property

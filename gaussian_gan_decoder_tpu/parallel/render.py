@@ -54,11 +54,17 @@ def render_latency_sharded(
     shard_blend: bool = True,
     shard_sort: bool = False,
     bucket_cap: Optional[int] = None,
+    return_aux: bool = False,
 ):
     """One 512^2 frame with the point axis sharded over `axis`.
 
-    -> (3, H, W) image. Wrap in jit for the fused program; bit-identical
-    to flagship.decode_and_render(backend='pallas') up to all_gather
+    -> (3, H, W) image, or (image, n_dropped) when return_aux=True —
+    n_dropped aggregates tile pairs lost to overflow_budget exhaustion
+    AND (on the shard_sort path) to bucket-capacity overflow across all
+    chips; deploy-path callers should watch it like
+    flagship.decode_and_render's aux["n_dropped"]. Wrap in jit for the
+    fused program; bit-identical to
+    flagship.decode_and_render(backend='pallas') up to all_gather
     block concatenation order (none — per-point math is independent and
     binning sorts by tile/depth).
 
@@ -74,10 +80,11 @@ def render_latency_sharded(
     chip lexsorts only its ~1/n_dev of pairs before blending its tile
     rows. Total sort work ~2/n_dev of the replicated sort. `bucket_cap`
     bounds the per-(source, dest) bucket; pairs beyond it are DROPPED
-    (like overflow_budget) — default 2x the balanced share. Requires
-    packed or bf16_colors payloads with tile-LOCAL coords? No: all
-    payload formats are position-independent per pair, so the exchange
-    is format-agnostic (fused_sort_key is resolved before this path)."""
+    (like overflow_budget, counted in n_dropped) — default 4x the
+    balanced share P_loc/n_dev. Requires packed or bf16_colors payloads
+    with tile-LOCAL coords? No: all payload formats are
+    position-independent per pair, so the exchange is format-agnostic
+    (fused_sort_key is resolved before this path)."""
     assert decoder.pallas_heads, "sharded latency path uses the fused kernel"
     from ..decoder.pallas_heads import PROJ_ROWS
     from ..splat.fast_raster import (
@@ -115,7 +122,7 @@ def render_latency_sharded(
                       r["conic_c"], r["opac"], r["col_r"], r["col_g"],
                       r["col_b"]]
             ch, fields = jax.lax.optimization_barrier((ch, fields))
-            tile_key, qd, frep, n_rows, _nd = _build_pairs_any(
+            tile_key, qd, frep, n_rows, nd_local = _build_pairs_any(
                 ch, fields, grid_x, grid_y, ts,
                 raster_cfg.static_copies,
                 max(raster_cfg.overflow_budget // n_dev, 8),
@@ -160,15 +167,20 @@ def render_latency_sharded(
                 axis=0)
             img_l, _ = _blend_and_assemble(
                 starts, attrs_t, grid_x, gy_local, ts, bgv, raster_cfg)
-            return img_l
+            # observable capacity overflow: builder drops + pairs beyond
+            # each destination bucket's cap, aggregated over all chips
+            bucket_n = bounds[1:] - bounds[:-1]
+            nd = nd_local + jnp.sum(jnp.maximum(bucket_n - cap, 0))
+            return img_l, jax.lax.psum(nd, axis)
 
-        img = jax.shard_map(
+        img, nd = jax.shard_map(
             local_frame, mesh=mesh,
             in_specs=(P(), P(), P(axis)),
-            out_specs=P(axis),
+            out_specs=(P(axis), P()),
             check_vma=False,
         )(params, planes, init_position)
-        return jnp.transpose(img, (2, 0, 1))
+        img = jnp.transpose(img, (2, 0, 1))
+        return (img, nd) if return_aux else img
 
     layout_box = {}
 
@@ -192,6 +204,8 @@ def render_latency_sharded(
     if not shard_blend or grid_y % n_dev != 0:
         out = render_rows(cam, rows, layout_box, rows.shape[1], bg=bgv,
                           config=raster_cfg)
+        if return_aux:
+            return out["render"][:3], out["n_dropped"]
         return out["render"][:3]
 
     # replicated binning (ONE lexsort carrying the blend payloads), then
@@ -203,7 +217,7 @@ def render_latency_sharded(
     fields = [r["px"], r["py"], r["conic_a"], r["conic_b"], r["conic_c"],
               r["opac"], r["col_r"], r["col_g"], r["col_b"]]
     ch, fields = jax.lax.optimization_barrier((ch, fields))
-    tile_starts, attrs_t, _ = bin_pairs_lexsort_ch(
+    tile_starts, attrs_t, nd = bin_pairs_lexsort_ch(
         ch, fields, grid_x, grid_y, ts,
         raster_cfg.static_copies, raster_cfg.overflow_budget,
         bf16_colors=raster_cfg.bf16_colors,
@@ -226,4 +240,5 @@ def render_latency_sharded(
         out_specs=P(axis),
         check_vma=False,
     )(tile_starts, attrs_t)
-    return jnp.transpose(img, (2, 0, 1))
+    img = jnp.transpose(img, (2, 0, 1))
+    return (img, nd) if return_aux else img

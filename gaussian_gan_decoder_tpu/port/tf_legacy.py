@@ -86,10 +86,20 @@ def convert_tf_generator(tf_G: TFNetworkStub):
     )
 
     tf_params = collect_tf_params(tf_G)
-    architecture = "skip"
+    # progressive-growing pickles store per-lod ToRGBs: remap each to its
+    # resolution and switch to the 'orig' architecture (single final
+    # ToRGB, no per-block skips). NOTE this fixes a reference defect
+    # rather than replicating it: eg3d/legacy.py:166 flips the
+    # architecture via `kwargs.synthesis.kwargs.architecture` — an
+    # attribute path that does not exist on its kwargs EasyDict, so the
+    # reference's own 'orig' branch raises AttributeError on any input
+    # that triggers it (verified in-process). The discriminator branch
+    # (legacy.py:265, `kwargs.architecture = 'orig'`) shows the intended
+    # semantics, which we implement.
+    architecture = kwarg("architecture", "skip")
     for name, value in list(tf_params.items()):
         m = re.fullmatch(r"ToRGB_lod(\d+)/(.*)", name)
-        if m:   # progressive-growing pickles store per-lod ToRGBs
+        if m:
             r = img_resolution // (2 ** int(m.group(1)))
             tf_params[f"{r}x{r}/ToRGB/{m.group(2)}"] = value
             architecture = "orig"
@@ -105,11 +115,8 @@ def convert_tf_generator(tf_G: TFNetworkStub):
         num_fp16_res=kwarg("num_fp16_res", 0),
         conv_clamp=kwarg("conv_clamp", None),
         mapping_kwargs=mapping_kwargs,
+        architecture=architecture,
     )
-    if architecture != "skip":
-        raise NotImplementedError(
-            "progressive-growing ('orig' architecture) TF pickles are not "
-            "supported — resave with the skip architecture")
 
     flat: Dict[str, np.ndarray] = {}
 
@@ -127,7 +134,18 @@ def convert_tf_generator(tf_G: TFNetworkStub):
         flat[f"mapping.fc{i}.weight"] = tf_params[f"mapping/Dense{i}/weight"].T
         flat[f"mapping.fc{i}.bias"] = tf_params[f"mapping/Dense{i}/bias"]
 
+    def tf_key(src):
+        """Remapped per-lod ToRGB entries land WITHOUT the component
+        prefix ('{r}x{r}/ToRGB/...'); everything else carries it."""
+        if f"{src}/weight" in tf_params:
+            return src
+        unprefixed = src.split("/", 1)[1]
+        if f"{unprefixed}/weight" in tf_params:
+            return unprefixed
+        return src  # KeyError below names the prefixed form
+
     def layer(dst, src, noise_idx, flip=False):
+        src = tf_key(src)
         flat[f"{dst}.weight"] = conv_w(tf_params[f"{src}/weight"], flip)
         flat[f"{dst}.bias"] = tf_params[f"{src}/bias"]
         flat[f"{dst}.affine.weight"] = tf_params[f"{src}/mod_weight"].T
@@ -136,15 +154,18 @@ def convert_tf_generator(tf_G: TFNetworkStub):
             flat[f"{dst}.noise_const"] = tf_params[f"synthesis/noise{noise_idx}"][0, 0]
             flat[f"{dst}.noise_strength"] = tf_params[f"{src}/noise_strength"]
 
+    top = img_resolution
     flat["synthesis.b4.const"] = tf_params["synthesis/4x4/Const/const"][0]
     layer("synthesis.b4.conv1", "synthesis/4x4/Conv", 0)
-    layer("synthesis.b4.torgb", "synthesis/4x4/ToRGB", None)
+    if architecture == "skip" or top == 4:
+        layer("synthesis.b4.torgb", "synthesis/4x4/ToRGB", None)
     for r in [2 ** i for i in range(3, int(math.log2(img_resolution)) + 1)]:
         k = int(math.log2(r))
         layer(f"synthesis.b{r}.conv0", f"synthesis/{r}x{r}/Conv0_up",
               k * 2 - 5, flip=True)
         layer(f"synthesis.b{r}.conv1", f"synthesis/{r}x{r}/Conv1", k * 2 - 4)
-        layer(f"synthesis.b{r}.torgb", f"synthesis/{r}x{r}/ToRGB", None)
+        if architecture == "skip" or r == top:
+            layer(f"synthesis.b{r}.torgb", f"synthesis/{r}x{r}/ToRGB", None)
         if f"synthesis/{r}x{r}/Skip/weight" in tf_params:
             flat[f"synthesis.b{r}.skip.weight"] = conv_w(
                 tf_params[f"synthesis/{r}x{r}/Skip/weight"], flip=True)

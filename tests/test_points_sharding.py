@@ -121,11 +121,19 @@ def test_render_latency_shard_sort_matches_single_device():
     # bucket_cap=None exercises the default heuristic too; the lossless
     # cap (every local pair fits any one bucket) is the parity guarantee
     for cap in (None, 2 * 80 + 2 ** 10 // n_dev):
-        img = render_latency_sharded(
+        img, nd = render_latency_sharded(
             mesh, dec, params, z, cp, c2w, pts, fov, image_size=size,
-            raster_cfg=rcfg, shard_sort=True, bucket_cap=cap)
+            raster_cfg=rcfg, shard_sort=True, bucket_cap=cap,
+            return_aux=True)
         a, b = np.asarray(ref), np.asarray(img)
         assert b.shape == (3, size, size)
         mse = ((a - b) ** 2).mean()
         psnr = 10 * np.log10(1.0 / max(mse, 1e-14))
         assert psnr > 60.0, (cap, psnr)
+        assert int(nd) == 0, cap  # lossless caps: overflow is observable
+
+    # a starved bucket_cap must REPORT its exchange drops, not lose them
+    _, nd = render_latency_sharded(
+        mesh, dec, params, z, cp, c2w, pts, fov, image_size=size,
+        raster_cfg=rcfg, shard_sort=True, bucket_cap=8, return_aux=True)
+    assert int(nd) > 0

@@ -34,9 +34,10 @@ Z_DIM = W_DIM = 16
 N_MAP = 2
 
 
-def _tf_vars(rng):
+def _tf_vars(rng, arch="skip"):
     """Synthetic TF StyleGAN2 variable dict (TF shapes: dense (in, out),
-    conv (kh, kw, in, out))."""
+    conv (kh, kw, in, out)). arch='orig' stores only the final ToRGB and
+    no Skip convs, like a progressive-growing-era generator."""
     def ch(r):
         return min(FMAP_BASE * 2 // r, FMAP_MAX)
 
@@ -57,7 +58,8 @@ def _tf_vars(rng):
 
     v["synthesis/4x4/Const/const"] = rng.randn(1, ch(4), 4, 4).astype(np.float32)
     conv("synthesis/4x4/Conv", ch(4), ch(4))
-    conv("synthesis/4x4/ToRGB", ch(4), 3, k=1, noise=False)
+    if arch == "skip":
+        conv("synthesis/4x4/ToRGB", ch(4), 3, k=1, noise=False)
     n_noise = 1 + 2 * (int(math.log2(RES)) - 2)
     for i in range(n_noise):
         r = 4 * 2 ** ((i + 1) // 2)
@@ -65,24 +67,27 @@ def _tf_vars(rng):
     for r in [2 ** i for i in range(3, int(math.log2(RES)) + 1)]:
         conv(f"synthesis/{r}x{r}/Conv0_up", ch(r // 2), ch(r))
         conv(f"synthesis/{r}x{r}/Conv1", ch(r), ch(r))
-        conv(f"synthesis/{r}x{r}/ToRGB", ch(r), 3, k=1, noise=False)
-        v[f"synthesis/{r}x{r}/Skip/weight"] = rng.randn(1, 1, ch(r // 2), ch(r)).astype(np.float32) * 0.2
+        if arch == "skip" or r == RES:
+            conv(f"synthesis/{r}x{r}/ToRGB", ch(r), 3, k=1, noise=False)
+        if arch == "skip":
+            v[f"synthesis/{r}x{r}/Skip/weight"] = rng.randn(1, 1, ch(r // 2), ch(r)).astype(np.float32) * 0.2
     return v
 
 
-def _static_kwargs():
+def _static_kwargs(**extra):
     return dict(
         latent_size=Z_DIM, dlatent_size=W_DIM, label_size=0,
         resolution=RES, num_channels=3,
         fmap_base=FMAP_BASE, fmap_max=FMAP_MAX,
         num_fp16_res=0, conv_clamp=None,
         mapping_layers=N_MAP, mapping_lrmul=0.01, w_avg_beta=0.995,
+        **extra,
     )
 
 
-def _stub(variables):
+def _stub(variables, **kw_extra):
     return TFNetworkStub(
-        version=4, static_kwargs=_static_kwargs(),
+        version=4, static_kwargs=_static_kwargs(**kw_extra),
         variables=list(variables.items()), components={},
     )
 
@@ -114,6 +119,74 @@ def test_convert_tf_generator_matches_reference():
     img = gen.synthesis.apply(params["synthesis"], ws, noise_mode="const")
     np.testing.assert_allclose(
         np.asarray(img, np.float32), img_ref.numpy(), atol=5e-3)
+
+
+def test_convert_tf_generator_orig_matches_reference():
+    """'orig' architecture declared in static_kwargs (single final ToRGB,
+    no skips): golden vs the reference conversion, which handles this
+    spelling fine — only its ToRGB_lod remap branch is broken."""
+    rng = np.random.RandomState(2)
+    tf_vars = _tf_vars(rng, arch="orig")
+
+    import legacy as ref_legacy
+    import dnnlib
+
+    ref_stub = ref_legacy._TFNetworkStub(
+        version=4, static_kwargs=dnnlib.EasyDict(_static_kwargs(architecture="orig")),
+        variables=list(tf_vars.items()), components=dnnlib.EasyDict(),
+    )
+    ref_G = ref_legacy.convert_tf_generator(ref_stub)
+
+    gen, params = convert_tf_generator(_stub(tf_vars, architecture="orig"))
+    assert gen.architecture == "orig"
+    assert gen.num_ws == ref_G.num_ws
+
+    z = rng.randn(2, Z_DIM).astype(np.float32)
+    with torch.no_grad():
+        ws_ref = ref_G.mapping(torch.from_numpy(z), None)
+        img_ref = ref_G.synthesis(ws_ref, noise_mode="const", force_fp32=True)
+    ws = gen.mapping.apply(params["mapping"], jnp.asarray(z), None)
+    img = gen.synthesis.apply(params["synthesis"], ws, noise_mode="const")
+    np.testing.assert_allclose(
+        np.asarray(img, np.float32), img_ref.numpy(), atol=5e-3)
+
+
+def test_convert_tf_generator_progressive_lod_names():
+    """Per-lod ToRGB names (progressive-growing pickles) flip the
+    architecture to 'orig' and convert to the SAME params as the
+    explicit-'orig' spelling. The reference's own branch for this input
+    raises AttributeError (eg3d/legacy.py:166 references
+    kwargs.synthesis.kwargs, which doesn't exist) — a documented
+    reference defect we fix rather than replicate (SURVEY §7)."""
+    rng = np.random.RandomState(2)           # same seed => same weights
+    tf_vars = _tf_vars(rng, arch="orig")
+
+    lod_vars = dict(tf_vars)
+    top = f"synthesis/{RES}x{RES}/ToRGB"
+    for suffix in ("weight", "bias", "mod_weight", "mod_bias"):
+        lod_vars[f"ToRGB_lod0/{suffix}"] = lod_vars.pop(f"{top}/{suffix}")
+    # stale lower-lod heads like real progressive pickles carry; unused
+    lod_vars["ToRGB_lod1/weight"] = rng.randn(
+        1, 1, min(FMAP_BASE * 2 // (RES // 2), FMAP_MAX), 3).astype(np.float32)
+
+    gen, params = convert_tf_generator(_stub(lod_vars))
+    gen_ref, params_ref = convert_tf_generator(_stub(tf_vars, architecture="orig"))
+    assert gen == gen_ref
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params_ref)
+
+    # the reference crashes on the same input — pin the defect so this
+    # divergence stays documented
+    import legacy as ref_legacy
+    import dnnlib
+
+    ref_stub = ref_legacy._TFNetworkStub(
+        version=4, static_kwargs=dnnlib.EasyDict(_static_kwargs()),
+        variables=list(lod_vars.items()), components=dnnlib.EasyDict(),
+    )
+    with pytest.raises(AttributeError):
+        ref_legacy.convert_tf_generator(ref_stub)
 
 
 def test_load_tf_network_pkl_roundtrip():
