@@ -73,11 +73,11 @@ def main():
     rcfg = flagship_raster_config()
 
     backend = os.environ.get("BENCH_BACKEND", "pallas")
-    # slab-gather decode DEFAULT ON (27.98 fps vs 20.97 brick-table path,
-    # measured 2026-08-19); BENCH_SLAB=0 reverts. panohead tri-grid only.
+    # slab-gather decode DEFAULT ON (29.59 fps vs 20.93 brick-table path,
+    # measured 2026-08-19); BENCH_SLAB=0 reverts. eg3d (depth-1) takes
+    # the bilinear slab variant (2-D windows, no z-slab).
     slab_on = (os.environ.get("BENCH_SLAB", "1").strip().lower()
-               not in ("0", "false", "no")
-               and variant == "panohead" and backend == "pallas")
+               not in ("0", "false", "no") and backend == "pallas")
     # slab default fb=1: the batched lax.map stream with the slab kernel
     # compiles pathologically (>10 min) through the tunnel helper, and
     # fb=4 measured no gain over fb=1 on the non-slab path anyway

@@ -361,9 +361,18 @@ class GaussianDecoder:
             compact_indices)
 
         g = self.generator
-        assert g.triplane_depth > 1, "slab decode: tri-grid generators only"
         sizes = (g.triplane_depth, int(g.rk["triplane_size"]),
                  int(g.rk["triplane_size"]))
+        # depth-1 (EG3D tri-plane) generators take the BILINEAR variant:
+        # 2-D windows, no z-slab (the reference samples them with 2-D
+        # grid_sample); ey grows to 128 so the kernel K-tile stays 1x128
+        # (clamped to the padded plane height for tiny test grids)
+        bilinear = g.triplane_depth == 1
+        if bilinear:
+            yp = -(-(sizes[1] + 2) // 8) * 8
+            dzw, ey = 1, min(128, yp)
+        else:
+            dzw, ey = DZW, 32
         verbose = bool(os.environ.get("GGD_SLAB_VERBOSE"))
 
         def _stamp(label, t0):
@@ -377,8 +386,8 @@ class GaussianDecoder:
         if cache_dir:
             h = hashlib.sha256()
             h.update(pos_np.tobytes())
-            h.update(repr((sizes, float(g.rk["box_warp"]), block, DZW,
-                           "slab_pack_v1")).encode())
+            h.update(repr((sizes, float(g.rk["box_warp"]), block,
+                           (dzw, ey, bilinear), "slab_pack_v1")).encode())
             cache_path = os.path.join(cache_dir,
                                       f"slab_pack_{h.hexdigest()[:24]}.npz")
         pb = idx16 = None
@@ -396,9 +405,11 @@ class GaussianDecoder:
             pb = build_point_blocks(
                 pos_np, g.renderer.plane_axes,
                 box_warp=g.rk["box_warp"], sizes=sizes, block=block,
+                ey=ey, bilinear=bilinear,
             )
             idx16 = compact_indices(pb, g.renderer.plane_axes,
-                                    g.rk["box_warp"], sizes)
+                                    g.rk["box_warp"], sizes,
+                                    bilinear=bilinear)
             t0 = _stamp("host pack built", t0)
             if cache_path:
                 os.makedirs(cache_dir, exist_ok=True)
@@ -417,7 +428,8 @@ class GaussianDecoder:
                   "template density too low for the slab windows; the "
                   "brick-table path is likely faster", file=sys.stderr)
         wzy, axs = build_slab_weights(
-            pb, g.renderer.plane_axes, g.rk["box_warp"], sizes, idx16=idx16)
+            pb, g.renderer.plane_axes, g.rk["box_warp"], sizes, idx16=idx16,
+            dzw=dzw, bilinear=bilinear)
         if verbose:
             jax.block_until_ready(wzy)
         t0 = _stamp("device weight build (compile + exec + transfer)", t0)
@@ -442,7 +454,7 @@ class GaussianDecoder:
             positions=positions, perm=pb.perm, valid=jnp.asarray(pb.valid),
             inv_slot=jnp.asarray(inv_slot),
             n_points=pb.n_points, block=pb.block, ey=pb.ey, ex=pb.ex,
-            cond_dim=int(cond.shape[1]), m_padded=pb.m_padded,
+            dzw=dzw, cond_dim=int(cond.shape[1]), m_padded=pb.m_padded,
         )
 
     def decode_project(self, params: Params, planes, init_position, cam,
@@ -470,7 +482,7 @@ class GaussianDecoder:
                 slab_ctx.origins, slab_ctx.wzy, slab_ctx.axs, slab_ctx.aux,
                 vol, scales, self.scale_offset,
                 cam=cam, P=slab_ctx.cond_dim,
-                ey=slab_ctx.ey, ex=slab_ctx.ex,
+                ey=slab_ctx.ey, ex=slab_ctx.ex, dzw=slab_ctx.dzw,
                 parallel=(self.decoder_type == "parallel"),
                 compute_dtype=jnp.bfloat16 if self.heads_bf16 else jnp.float32,
                 block=slab_ctx.block,

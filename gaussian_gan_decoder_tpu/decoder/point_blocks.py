@@ -109,7 +109,8 @@ class PointBlocks:
         return self.positions.shape[0]
 
 
-def compact_indices(pb: PointBlocks, plane_axes, box_warp, sizes) -> np.ndarray:
+def compact_indices(pb: PointBlocks, plane_axes, box_warp, sizes,
+                    bilinear: bool = False) -> np.ndarray:
     """(Mpad, 12) int16 compact host payload: per plane (ix, iy, iz)
     padded-axis indices + one int16 of the 6 host validity bits
     (vx0 vx1 vy0 vy1 vz0 vz1).
@@ -134,19 +135,23 @@ def compact_indices(pb: PointBlocks, plane_axes, box_warp, sizes) -> np.ndarray:
         idx16[:, 4 * p + 2] = pb.idxw[c0 + 6].astype(np.int16)
         proj_h = g_h @ inv[p]
         bits = np.zeros(pb.m_padded, np.int16)
-        for ax, size in ((0, W), (1, H), (2, D)):
+        axes = ((0, W), (1, H)) if bilinear else ((0, W), (1, H), (2, D))
+        for ax, size in axes:
             x0t = np.floor(((proj_h[:, ax] + 1.0) * size - 1.0) * 0.5
                            ).astype(np.int64)
             v0 = (x0t >= 0) & (x0t < size)
             v1 = (x0t + 1 >= 0) & (x0t + 1 < size)
             bits = bits | (v0.astype(np.int16) << (2 * ax))
             bits = bits | (v1.astype(np.int16) << (2 * ax + 1))
+        if bilinear:
+            bits = bits | (1 << 4)   # single z "corner" always valid
         idx16[:, 4 * p + 3] = bits
     return idx16
 
 
 def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
-                       sizes=None, idx16=None):
+                       sizes=None, idx16=None, dzw: int = DZW,
+                       bilinear: bool = False):
     """On-device build of the static per-point interpolation operands the
     slab kernel consumes (built once per template; a host-numpy build +
     tunnel transfer of the ~440 MB wzy measured minutes):
@@ -172,8 +177,9 @@ def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
     import jax.numpy as jnp
 
     nb, blk, ey, ex = pb.n_blocks, pb.block, pb.ey, pb.ex
-    kr = DZW * ey
+    kr = dzw * ey
     assert 3 * ex <= 64, ex
+    assert not bilinear or dzw == 1, (bilinear, dzw)
 
     if plane_axes is None:
         # legacy full-idxw path (tests / callers without the projection)
@@ -210,7 +216,8 @@ def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
 
     D, H, W = sizes
     if idx16 is None:
-        idx16 = compact_indices(pb, plane_axes, box_warp, sizes)
+        idx16 = compact_indices(pb, plane_axes, box_warp, sizes,
+                                bilinear=bilinear)
     import numpy as np
     inv = np.linalg.inv(plane_axes).astype(np.float32)
 
@@ -238,7 +245,13 @@ def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
 
             wxa, wxb = corner(proj[:, 0], ip[:, 0], W, vbit(0), vbit(1))
             wya, wyb = corner(proj[:, 1], ip[:, 1], H, vbit(2), vbit(3))
-            wza, wzb = corner(proj[:, 2], ip[:, 2], D, vbit(4), vbit(5))
+            if bilinear:
+                # depth-1 planes: 2-D grid_sample semantics — no z lerp,
+                # the single window row carries weight 1 (vbit 4 is set
+                # by compact_indices; proj[:, 2] is NOT a z coordinate)
+                wza, wzb = vbit(4), vbit(5)
+            else:
+                wza, wzb = corner(proj[:, 2], ip[:, 2], D, vbit(4), vbit(5))
             z0 = origins[blk_of, 3 * p].astype(jnp.float32)
             y0 = origins[blk_of, 3 * p + 1].astype(jnp.float32) * Y_ALIGN
             x0 = origins[blk_of, 3 * p + 2].astype(jnp.float32) * X_ALIGN
@@ -269,6 +282,7 @@ def build_point_blocks(
     block: int = 1024,
     ey: int = EY,
     ex: int = EX,
+    bilinear: bool = False,
 ) -> PointBlocks:
     """Morton-sort + greedy-pack the template into slab-fitting blocks.
 
@@ -277,7 +291,13 @@ def build_point_blocks(
     [8*yt, 8*yt+ey-1], x in [4*xt, 4*xt+ex-1], with room for the +1
     corner. The greedy walk binary-searches the longest sorted run that
     fits (O(1) range-min/max), so worst case it splits at Morton
-    boundary crossings; pads each block to `block` slots."""
+    boundary crossings; pads each block to `block` slots.
+
+    bilinear=True packs for the DEPTH-1 (EG3D tri-plane) kernel variant:
+    2-D (y, x) windows only — there is no z interpolation (the reference
+    samples depth-1 planes with 2-D grid_sample), so the z corner weights
+    degenerate to (1, 0) at window row z=0 and the z fit constraint
+    drops. Pair with ey=128 so the kernel's K-tile stays 1*128."""
     D, H, W = sizes
     M = init_position.shape[0]
     pos = np.asarray(init_position, np.float32)
@@ -292,7 +312,10 @@ def build_point_blocks(
         proj = g @ inv[p]                               # (M, 3)
         ix[p], wts[p, 0], wts[p, 1] = _corner_1d(proj[:, 0], W)
         iy[p], wts[p, 2], wts[p, 3] = _corner_1d(proj[:, 1], H)
-        iz[p], wts[p, 4], wts[p, 5] = _corner_1d(proj[:, 2], D)
+        if bilinear:
+            wts[p, 4] = 1.0   # single z "corner" at window row 0
+        else:
+            iz[p], wts[p, 4], wts[p, 5] = _corner_1d(proj[:, 2], D)
 
     # Morton order on the clamped world grid (the SAME clamped indices
     # that drive the windows, so clustering bounds the windows). Shift
@@ -322,10 +345,11 @@ def build_point_blocks(
             y0 = min((ymin // Y_ALIGN) * Y_ALIGN, YP - ey)
             if ymax + 1 > y0 + ey - 1:
                 return False
-            zmin, zmax = rmm[p][2].query(lo, hi)
-            zt = min(zmin, DZ - DZW)
-            if zmax + 1 > zt + DZW - 1:
-                return False
+            if not bilinear:
+                zmin, zmax = rmm[p][2].query(lo, hi)
+                zt = min(zmin, DZ - DZW)
+                if zmax + 1 > zt + DZW - 1:
+                    return False
         return True
 
     starts = []
@@ -363,10 +387,9 @@ def build_point_blocks(
         for p in range(3):
             xmin = ixs[p, s:e].min()
             ymin = iys[p, s:e].min()
-            zmin = izs[p, s:e].min()
             x0 = min((xmin // X_ALIGN) * X_ALIGN, XP - ex)
             y0 = min((ymin // Y_ALIGN) * Y_ALIGN, YP - ey)
-            zt = min(zmin, DZ - DZW)
+            zt = 0 if bilinear else min(izs[p, s:e].min(), DZ - DZW)
             origins[b, 3 * p:3 * p + 3] = (zt, y0 // Y_ALIGN, x0 // X_ALIGN)
             c0 = p * 9
             idxw[c0 + 0, sl] = ixs[p, s:e]

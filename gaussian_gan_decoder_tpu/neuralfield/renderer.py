@@ -266,7 +266,11 @@ def build_slab_volume(
 
     -> (vol (P, D+2, YP, XP*C) int8, scales (P, C) f32) with
     YP = roundup(H+2, y_align), XP = roundup(W+2, x_align). Quantization
-    identical to build_plane_table's int8 path (same absmax scales)."""
+    identical to build_plane_table's int8 path (same absmax scales).
+
+    triplane_depth == 1 (EG3D tri-planes, 2-D grid_sample semantics —
+    no z interpolation) emits (P, 1, YP, XP*C): a single z layer with no
+    z padding, matching the bilinear packer's zt = 0 window."""
     N, n_planes, CD, H, W = plane_features.shape
     assert N == 1, "slab volume is a per-frame (batch-1) structure"
     D = triplane_depth
@@ -279,9 +283,11 @@ def build_slab_volume(
     YP = -(-(H + 2) // y_align) * y_align
     XP = -(-(W + 2) // x_align) * x_align
     fcl = jnp.transpose(q8, (0, 2, 3, 4, 1))             # (P, D, H, W, C)
-    fcl = jnp.pad(fcl, ((0, 0), (1, 1), (1, YP - H - 1), (1, XP - W - 1),
+    zpad = (0, 0) if D == 1 else (1, 1)
+    fcl = jnp.pad(fcl, ((0, 0), zpad, (1, YP - H - 1), (1, XP - W - 1),
                         (0, 0)))
-    return fcl.reshape(n_planes, D + 2, YP, XP * C), scales
+    dz = 1 if D == 1 else D + 2
+    return fcl.reshape(n_planes, dz, YP, XP * C), scales
 
 
 def _trilinear_sample_table(table, C, D, H, W, grid):

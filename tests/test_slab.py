@@ -25,9 +25,9 @@ from gaussian_gan_decoder_tpu.neuralfield.renderer import (
 )
 
 
-def _small_gen():
+def _small_gen(variant="panohead"):
     return TriPlaneGenerator(
-        z_dim=32, c_dim=25, w_dim=32, img_resolution=64, variant="panohead",
+        z_dim=32, c_dim=25, w_dim=32, img_resolution=64, variant=variant,
         without_sr=True, channel_base=512, channel_max=32,
         rendering_kwargs=(("triplane_size", 64),),
     )
@@ -103,11 +103,14 @@ def test_slab_volume_matches_corner_contract():
     assert np.all(v5[:, :, :, 0] == 0) and np.all(v5[:, :, :, W + 1:] == 0)
 
 
-@pytest.mark.parametrize("use_embedding", [False, True])
-def test_slab_decode_parity(use_embedding):
+@pytest.mark.parametrize("use_embedding,variant", [
+    (False, "panohead"), (True, "panohead"), (False, "eg3d")])
+def test_slab_decode_parity(use_embedding, variant):
     """End-to-end rows parity: slab kernel vs the standard decode_project
-    (int8 bricks + pallas heads), modulo the Morton permutation."""
-    gen = _small_gen()
+    (int8 bricks + pallas heads), modulo the Morton permutation. The
+    'eg3d' case exercises the BILINEAR slab variant (depth-1 planes: 2-D
+    windows, dzw=1, ey=128, no z interpolation)."""
+    gen = _small_gen(variant)
     dec = GaussianDecoder(
         generator=gen, decoder_type="sequential_reversed",
         int8_sampling=True, pallas_heads=True, heads_bf16=True,
