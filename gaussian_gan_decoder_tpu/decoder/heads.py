@@ -433,18 +433,31 @@ class GaussianDecoder:
         if verbose:
             jax.block_until_ready(wzy)
         t0 = _stamp("device weight build (compile + exec + transfer)", t0)
-        if self.slab_int8_weights:
-            wzy = jnp.clip(jnp.round(wzy.astype(jnp.float32) * 127.0),
-                           -127, 127).astype(jnp.int8)
         positions = jnp.asarray(pb.positions)
-        cond = (self.embedder(positions) if self.use_xyz_embedding
-                else positions)
         chain_spec = _CHAINS[self.decoder_type]
         dtype = jnp.bfloat16 if self.heads_bf16 else jnp.float32
-        aux, _ = _build_staging(
-            jnp.zeros((pb.m_padded, 32), jnp.float32), cond, positions,
-            chain_spec, pb.block, dtype)
-        aux = aux.at[:, VALID_COL].set(jnp.asarray(pb.valid, dtype))
+
+        # one jit for the tail (quant + cond + staging): eager op-by-op
+        # dispatch on the ~430 MB wzy / (Mpad, 128) staging measurably
+        # drags the warm start through per-op tunnel round-trips
+        @jax.jit
+        def _tail(wzy, positions, valid):
+            w = wzy
+            if self.slab_int8_weights:
+                w = jnp.clip(jnp.round(w.astype(jnp.float32) * 127.0),
+                             -127, 127).astype(jnp.int8)
+            cond = (self.embedder(positions) if self.use_xyz_embedding
+                    else positions)
+            aux, _ = _build_staging(
+                jnp.zeros((pb.m_padded, 32), jnp.float32), cond, positions,
+                chain_spec, pb.block, dtype)
+            aux = aux.at[:, VALID_COL].set(valid.astype(dtype))
+            return w, aux
+
+        wzy, aux = _tail(wzy, positions, jnp.asarray(pb.valid))
+        if verbose:
+            jax.block_until_ready(wzy)
+        t0 = _stamp("quant + staging tail", t0)
         # inv_slot[original point index] = packed slot index: unpermutes
         # slab-path outputs back to template order (rows[:, inv_slot])
         inv_slot = np.zeros(pb.n_points, np.int32)
@@ -454,7 +467,7 @@ class GaussianDecoder:
             positions=positions, perm=pb.perm, valid=jnp.asarray(pb.valid),
             inv_slot=jnp.asarray(inv_slot),
             n_points=pb.n_points, block=pb.block, ey=pb.ey, ex=pb.ex,
-            dzw=dzw, cond_dim=int(cond.shape[1]), m_padded=pb.m_padded,
+            dzw=dzw, cond_dim=self.position_dim, m_padded=pb.m_padded,
         )
 
     def decode_project(self, params: Params, planes, init_position, cam,
