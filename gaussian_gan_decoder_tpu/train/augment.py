@@ -16,11 +16,20 @@ probability multipliers —
 
 plus the adaptive-p heuristic (`ada_update`, ref training_loop.py:316-325).
 
-Documented deviation: the reference applies geometric warps with wavelet
-pre/post filtering and reflection padding to be strictly alias-free
-(augment.py:212-320); here a plain bilinear resample with zeros padding is
-used — the augmentation distribution is the same, the interpolation is
-cheaper and non-alias-free (acceptable for the D-input corruption role).
+Geometric warps come in two execution modes:
+
+  * alias_free=False (default): plain bilinear resample with zeros
+    padding — same augmentation distribution, cheaper, non-alias-free
+    (acceptable for the D-input corruption role).
+  * alias_free=True: the reference's strictly alias-free execution
+    (augment.py:212-320) — reflect padding, 2x sym6-wavelet upsampling,
+    bilinear warp at 2x, wavelet downsample + crop. One deviation forced
+    by XLA static shapes: the reference computes a per-sample reflect
+    margin from the transformed corners (clamped to width-1); here the
+    margin is STATIC (alias_free_margin, default the same width-1
+    clamp), which reproduces the reference exactly — a larger reflect
+    pad changes nothing for samples whose support the reference's
+    margin already contained, and the clamp case coincides.
 """
 from __future__ import annotations
 
@@ -67,6 +76,19 @@ class AugmentConfig:
     cutout: float = 0.0
     noise_std: float = 0.1
     cutout_size: float = 0.5
+    alias_free: bool = False   # reference-exact wavelet-filtered warps
+    # (see module docstring); ~9x the warp pixels at the default margin
+    alias_free_margin: int = 0  # static reflect margin per side; 0 = the
+    # reference's width-1 clamp (exact); smaller trades tail-transform
+    # reflect coverage for memory
+
+
+# sym6 wavelet (standard symlet-6 coefficients, ref augment.py:42):
+# the orthogonal lowpass for the alias-free geometric warp (Hz_geom)
+_SYM6 = (0.015404109327027373, 0.0034907120842174702, -0.11799011114819057,
+         -0.048311742585633, 0.4910559419267466, 0.787641141030194,
+         0.3379294217276218, -0.07263752278646252, -0.021060292512300564,
+         0.04472490177066578, 0.0017677118642428036, -0.007800708325034148)
 
 
 # sym2 wavelet (ref augment.py:38); the 4-band filter bank below follows
@@ -136,6 +158,72 @@ def _affine(sx, sy, tx, ty):
     )
 
 
+def _warp_affine_alias_free(images: jax.Array, G_ndc: jax.Array,
+                            margin: int = 0) -> jax.Array:
+    """Reference-exact alias-free affine warp (ref augment.py:275-312):
+    reflect pad -> 2x sym6 upsample -> bilinear warp at 2x -> sym6
+    downsample + crop. G_ndc is OUR inverse transform in pixel-center NDC
+    (output -> input); the reference composes in image-CENTERED pixel
+    coords, a pure per-axis scaling away (x_c = (W/2) * x_ndc).
+
+    `margin` is the STATIC reflect pad per side (0 = the reference's
+    width-1 clamp); see the module docstring for why a static symmetric
+    margin reproduces the reference's per-sample asymmetric one."""
+    from ..ops.upfirdn2d import downsample2d, setup_filter, upsample2d
+
+    n, c, h, w = images.shape
+    hz = setup_filter(list(_SYM6))
+    hz_pad = len(_SYM6) // 4
+    mx = margin if margin > 0 else w - 1
+    my = margin if margin > 0 else h - 1
+    mx, my = min(mx, w - 1), min(my, h - 1)
+
+    # NDC -> centered-pixel conjugation
+    s_in = np.diag([w / 2.0, h / 2.0, 1.0]).astype(np.float32)
+    s_out = np.diag([2.0 / w, 2.0 / h, 1.0]).astype(np.float32)
+    G = jnp.einsum("ij,njk,kl->nil", jnp.asarray(s_in), G_ndc,
+                   jnp.asarray(s_out))
+
+    # pad image; symmetric static margins need no origin adjustment
+    # (ref translate2d((mx0-mx1)/2, (my0-my1)/2) is identity here)
+    x = jnp.pad(images, ((0, 0), (0, 0), (my, my), (mx, mx)), mode="reflect")
+
+    # upsample 2x and conjugate the transform into the upsampled frame
+    x = upsample2d(x, hz, up=2)
+    up2 = np.diag([2.0, 2.0, 1.0]).astype(np.float32)
+    up2_inv = np.diag([0.5, 0.5, 1.0]).astype(np.float32)
+    t_half = np.eye(3, dtype=np.float32)
+    t_half[:2, 2] = -0.5
+    t_half_inv = np.eye(3, dtype=np.float32)
+    t_half_inv[:2, 2] = 0.5
+    G = jnp.einsum("ij,njk,kl->nil", jnp.asarray(up2), G, jnp.asarray(up2_inv))
+    G = jnp.einsum("ij,njk,kl->nil", jnp.asarray(t_half), G,
+                   jnp.asarray(t_half_inv))
+
+    # bilinear warp at 2x into the (image + filter halo) output frame
+    out_h, out_w = (h + hz_pad * 2) * 2, (w + hz_pad * 2) * 2
+    in_h, in_w = x.shape[2], x.shape[3]
+    a = np.diag([2.0 / in_w, 2.0 / in_h, 1.0]).astype(np.float32)
+    b = np.diag([out_w / 2.0, out_h / 2.0, 1.0]).astype(np.float32)
+    Gg = jnp.einsum("ij,njk,kl->nil", jnp.asarray(a), G, jnp.asarray(b))
+
+    # torch affine_grid semantics, align_corners=False
+    xs = (2.0 * jnp.arange(out_w, dtype=jnp.float32) + 1.0) / out_w - 1.0
+    ys = (2.0 * jnp.arange(out_h, dtype=jnp.float32) + 1.0) / out_h - 1.0
+    gx = (Gg[:, 0, 0, None, None] * xs[None, None, :]
+          + Gg[:, 0, 1, None, None] * ys[None, :, None]
+          + Gg[:, 0, 2, None, None])
+    gy = (Gg[:, 1, 0, None, None] * xs[None, None, :]
+          + Gg[:, 1, 1, None, None] * ys[None, :, None]
+          + Gg[:, 1, 2, None, None])
+    grid = jnp.stack([jnp.broadcast_to(gx, (n, out_h, out_w)),
+                      jnp.broadcast_to(gy, (n, out_h, out_w))], axis=-1)
+    x = grid_sample_2d(x, grid)
+
+    # wavelet downsample, cropping the filter halo
+    return downsample2d(x, hz, down=2, padding=-hz_pad * 2, flip_filter=True)
+
+
 def augment_pipe(key, images: jax.Array, p: jax.Array, cfg: AugmentConfig = AugmentConfig()):
     """images (N, C, H, W) in [-1,1]; p scalar adaptive probability."""
     n, c, h, w = images.shape
@@ -163,30 +251,41 @@ def augment_pipe(key, images: jax.Array, p: jax.Array, cfg: AugmentConfig = Augm
         s = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.scale_std)
         s = jnp.where(bern(cfg.scale), s, 1.0)
         G = G @ _affine(s, s, jnp.zeros((n,)), jnp.zeros((n,)))
+    # pre/post rotation sandwich around the anisotropic scaling, each
+    # with p_rot such that P(pre OR post) = rotate * p (ref :240-263)
+    p_rot = 1.0 - jnp.sqrt(jnp.clip(1.0 - cfg.rotate * p, 0.0, 1.0))
     if cfg.rotate > 0:
         theta = (jax.random.uniform(nk(), (n,)) * 2 - 1) * math.pi * cfg.rotate_max
-        theta = jnp.where(bern(cfg.rotate), theta, 0.0)
+        theta = jnp.where(jax.random.uniform(nk(), (n,)) < p_rot, theta, 0.0)
         G = G @ _rot2(-theta)
     if cfg.aniso > 0:
         a = jnp.exp2(jax.random.normal(nk(), (n,)) * cfg.aniso_std)
         a = jnp.where(bern(cfg.aniso), a, 1.0)
         G = G @ _affine(a, 1.0 / a, jnp.zeros((n,)), jnp.zeros((n,)))
+    if cfg.rotate > 0:
+        theta = (jax.random.uniform(nk(), (n,)) * 2 - 1) * math.pi * cfg.rotate_max
+        theta = jnp.where(jax.random.uniform(nk(), (n,)) < p_rot, theta, 0.0)
+        G = G @ _rot2(-theta)
     if cfg.xfrac > 0:
         t = jax.random.normal(nk(), (n, 2)) * cfg.xfrac_std
         t = jnp.where(bern(cfg.xfrac)[:, None], t * 2, 0.0)
         G = G @ _affine(jnp.ones((n,)), jnp.ones((n,)), t[:, 0], t[:, 1])
 
-    # apply: sample source at G_inv @ target (G already composed as inverse);
-    # pixel-CENTER NDC coords so an identity transform is exactly identity
-    # under grid_sample's align_corners=False convention
-    ys, xs = jnp.meshgrid(
-        (jnp.arange(h) + 0.5) / h * 2 - 1,
-        (jnp.arange(w) + 0.5) / w * 2 - 1,
-        indexing="ij",
-    )
-    grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (H, W, 3)
-    src = jnp.einsum("nij,hwj->nhwi", G, grid)
-    images = grid_sample_2d(images, src[..., :2] / src[..., 2:3])
+    if cfg.alias_free:
+        images = _warp_affine_alias_free(images, G, cfg.alias_free_margin)
+    else:
+        # apply: sample source at G_inv @ target (G already composed as
+        # inverse); pixel-CENTER NDC coords so an identity transform is
+        # exactly identity under grid_sample's align_corners=False
+        # convention
+        ys, xs = jnp.meshgrid(
+            (jnp.arange(h) + 0.5) / h * 2 - 1,
+            (jnp.arange(w) + 0.5) / w * 2 - 1,
+            indexing="ij",
+        )
+        grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # (H, W, 3)
+        src = jnp.einsum("nij,hwj->nhwi", G, grid)
+        images = grid_sample_2d(images, src[..., :2] / src[..., 2:3])
 
     # ---- color: compose a 4x4 matrix on homogeneous rgb ----------------------
     C = jnp.broadcast_to(jnp.eye(4), (n, 4, 4))

@@ -118,3 +118,100 @@ def test_imgfilter_transforms(rng):
     x = jnp.asarray(rng.rand(4, 3, 32, 32).astype(np.float32) * 2 - 1)
     y = np.asarray(augment_pipe(jax.random.PRNGKey(3), x, jnp.asarray(1.0), cfg))
     assert np.all(np.isfinite(y)) and not np.allclose(y, np.asarray(x))
+
+
+def test_alias_free_warp_golden_vs_reference(rng):
+    """alias_free=True must reproduce the reference's wavelet-filtered
+    geometric execution (ref augment.py:275-312) bit-for-bit given the
+    same transform: drive the ACTUAL reference AugmentPipe with
+    debug_percentile (every draw becomes a deterministic function of the
+    percentile), rebuild that transform on our side from the same debug
+    formulas, and compare outputs. Exercises the static-margin
+    equivalence argument from the module docstring."""
+    import os
+    import sys
+
+    import pytest
+
+    ref = "/root/reference/PanoHead"
+    if not os.path.isdir(ref):
+        pytest.skip("no reference checkout")
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    torch = pytest.importorskip("torch")
+    from training.augment import AugmentPipe
+
+    import jax.numpy as jnp
+
+    from gaussian_gan_decoder_tpu.train.augment import (
+        _warp_affine_alias_free)
+
+    n, c, h, w = 2, 3, 32, 32
+    x = rng.rand(n, c, h, w).astype(np.float32) * 2 - 1
+    pipe = AugmentPipe(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                       aniso=1, xfrac=1)
+    pipe.p.copy_(torch.ones([]))
+
+    def ref_G_centered(q, width, height):
+        """The reference's debug-percentile G_inv (image-centered pixel
+        coords), per augment.py:195-274."""
+        import numpy as _np
+
+        def translate(tx, ty):
+            m = _np.eye(3)
+            m[0, 2], m[1, 2] = tx, ty
+            return m
+
+        def scale(sx, sy):
+            return _np.diag([sx, sy, 1.0])
+
+        def rot(theta):
+            c0, s0 = _np.cos(theta), _np.sin(theta)
+            return _np.array([[c0, -s0, 0], [s0, c0, 0], [0, 0, 1.0]])
+
+        erfinv = float(torch.erfinv(torch.tensor(q * 2 - 1)))
+        G = _np.eye(3)
+        i = _np.floor(q * 2)
+        G = G @ scale(1 - 2 * i, 1)                      # xflip (inv = self)
+        i = _np.floor(q * 4)
+        G = G @ rot(-(-_np.pi / 2 * i))                  # rotate90_inv
+        t = q * 2 - 1
+        G = G @ translate(-_np.rint(t * 0.125 * width),
+                          -_np.rint(t * 0.125 * height))  # xint_inv
+        s = 2.0 ** (erfinv * 0.2)
+        G = G @ scale(1 / s, 1 / s)                      # scale_inv
+        theta = (q * 2 - 1) * _np.pi
+        G = G @ rot(-(-theta))                           # pre-rot_inv
+        s = 2.0 ** (erfinv * 0.2)
+        G = G @ scale(1 / s, s)                          # aniso_inv
+        # post-rot: debug sets theta = 0 -> identity
+        tf = erfinv * 0.125
+        G = G @ translate(-tf * width, -tf * height)     # xfrac_inv
+        return G
+
+    s_pix = np.diag([w / 2.0, h / 2.0, 1.0])
+    s_ndc = np.diag([2.0 / w, 2.0 / h, 1.0])
+    for q in (0.3, 0.62, 0.97):
+        with torch.no_grad():
+            want = pipe(torch.from_numpy(x), debug_percentile=q).numpy()
+        Gc = ref_G_centered(q, w, h)
+        G_ndc = s_ndc @ Gc @ s_pix                       # centered-pixel -> NDC
+        got = np.asarray(_warp_affine_alias_free(
+            jnp.asarray(x), jnp.asarray(np.tile(G_ndc[None], (n, 1, 1)),
+                                        jnp.float32)))
+        np.testing.assert_allclose(got, want, atol=2e-4, err_msg=f"q={q}")
+
+
+def test_alias_free_pipe_smoke(rng):
+    """alias_free=True end-to-end: finite, shape-preserving, p=0 identity."""
+    from gaussian_gan_decoder_tpu.train.augment import (
+        AugmentConfig, augment_pipe)
+
+    x = jnp.asarray(rng.rand(2, 3, 32, 32).astype(np.float32) * 2 - 1)
+    cfg = AugmentConfig(alias_free=True)
+    out = augment_pipe(jax.random.PRNGKey(0), x, jnp.asarray(1.0), cfg)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    out0 = augment_pipe(jax.random.PRNGKey(0), x, jnp.asarray(0.0), cfg)
+    # p=0: the warp still runs but with an identity transform; the
+    # up/down wavelet pair is perfect-reconstruction up to float error
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x), atol=1e-3)
