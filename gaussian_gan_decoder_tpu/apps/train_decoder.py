@@ -118,6 +118,10 @@ def build_argparser():
     p.add_argument("--pallas_probe_build", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="Pallas streaming build for the probe brick table")
+    p.add_argument("--mt_two_stage", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="two-stage crossed-cube compaction in the marching-"
+                        "tetrahedra pack (smaller sorts, no 2-D gather)")
     p.add_argument("--pallas_heads_train", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="custom-VJP fused Pallas decoder-head chain in the "
@@ -228,6 +232,7 @@ def main(argv=None):
         bf16_probe=args.bf16_probe,
         int8_probe=args.int8_probe,
         pallas_probe_build=args.pallas_probe_build,
+        mt_two_stage=args.mt_two_stage,
         sigma_chunk=min(2 ** 18, args.shape_res ** 3),
         face_capacity=min(2 ** 20, 12 * (args.shape_res - 1) ** 3),
         neural_rendering_resolution=min(64, args.image_size),
