@@ -96,6 +96,10 @@ def main():
         overrides["overflow_budget"] = int(os.environ["BENCH_OVERFLOW"])
     if "BENCH_FUSED_KEY" in os.environ:
         overrides["fused_sort_key"] = bool(int(os.environ["BENCH_FUSED_KEY"]))
+    if "BENCH_TILE_CAP" in os.environ:
+        # blend cost is proportional to tile_capacity (fixed-trip chunk
+        # loop); pairs beyond it in a tile are truncated back-to-front
+        overrides["tile_capacity"] = int(os.environ["BENCH_TILE_CAP"])
     if overrides:
         rcfg = _dc.replace(rcfg, **overrides)
 
