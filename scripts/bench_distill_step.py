@@ -171,6 +171,60 @@ def stage_ablate():
         return jnp.sum(t.img[:, :, ::257, ::257])
     timed("frozen-G 512^2 render", f_gan)
 
+    if os.environ.get("DS_STAGES") == "2":
+        # finer frozen-render split: mapping / planes / volume render
+        # (XLA DCEs the unconsumed SR) / +SR — the 224 ms stage has never
+        # been internally attributed
+        from gaussian_gan_decoder_tpu.decoder.camera_sampling import (
+            sample_camera_params)
+
+        def _parts(k):
+            z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
+            cp, _, _, _ = sample_camera_params(jax.random.fold_in(k, 2), 13.0)
+            ws = gen.mapping(gp, z, jnp.zeros_like(cp), truncation_psi=1.0)
+            return ws, cp
+
+        def f_map(k, i):
+            ws, _ = _parts(k)
+            return jnp.sum(ws)
+        timed("  mapping", f_map)
+
+        def f_planes(k, i):
+            ws, _ = _parts(k)
+            planes = gen.synthesis_planes(gp, ws, noise_mode="const")
+            return jnp.sum(planes[..., ::257].astype(jnp.float32))
+        timed("  + synthesis planes", f_planes)
+
+        def _render(k, consume):
+            ws, cp = _parts(k)
+            planes = gen.synthesis_planes(gp, ws, noise_mode="const")
+            table = gen.build_sampling_table(
+                planes,
+                brick_dtype=(jnp.int8 if tcfg.int8_probe
+                             else jnp.bfloat16 if tcfg.bf16_probe else None),
+                pallas_build=tcfg.pallas_probe_build)
+            out = gen.render_planes(
+                gp, planes, ws, cp,
+                neural_rendering_resolution=tcfg.neural_rendering_resolution,
+                noise_mode="const", key=jax.random.fold_in(k, 3),
+                plane_table=table)
+            return jnp.sum(out[consume].astype(jnp.float32))
+
+        def f_table(k, i):
+            ws, _cp = _parts(k)
+            planes = gen.synthesis_planes(gp, ws, noise_mode="const")
+            table = gen.build_sampling_table(
+                planes,
+                brick_dtype=(jnp.int8 if tcfg.int8_probe
+                             else jnp.bfloat16 if tcfg.bf16_probe else None),
+                pallas_build=tcfg.pallas_probe_build)
+            return jnp.sum(table[0][:, ::8193, ::129].astype(jnp.float32))
+        timed("  + probe table", f_table)
+
+        timed("  + volume render (raw)", lambda k, i: _render(k, "image_raw"))
+        if not gen.without_sr:   # smoke generators skip the SR stack
+            timed("  + superresolution", lambda k, i: _render(k, "image"))
+
     def f_sigma(k, i):
         z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
         ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
