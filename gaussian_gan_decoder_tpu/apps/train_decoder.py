@@ -122,6 +122,10 @@ def build_argparser():
                    default=False,
                    help="two-stage crossed-cube compaction in the marching-"
                         "tetrahedra pack (smaller sorts, no 2-D gather)")
+    p.add_argument("--sigma_separable", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="separable lattice-resampling sigma grid (dense MXU "
+                        "interp matmuls instead of table-row gathers)")
     p.add_argument("--pallas_heads_train", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="custom-VJP fused Pallas decoder-head chain in the "
@@ -233,6 +237,7 @@ def main(argv=None):
         int8_probe=args.int8_probe,
         pallas_probe_build=args.pallas_probe_build,
         mt_two_stage=args.mt_two_stage,
+        sigma_separable=args.sigma_separable,
         sigma_chunk=min(2 ** 18, args.shape_res ** 3),
         face_capacity=min(2 ** 20, 12 * (args.shape_res - 1) ** 3),
         neural_rendering_resolution=min(64, args.image_size),

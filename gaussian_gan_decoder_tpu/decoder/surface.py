@@ -320,17 +320,85 @@ def marching_tetrahedra_sample(
     return jnp.stack(pts, axis=1)
 
 
+def sigma_grid_separable(generator, gen_params, planes,
+                         shape_res: int = 128) -> jax.Array:
+    """(R, R, R) sigma via SEPARABLE lattice resampling — no gathers.
+
+    The probe points (create_samples) form a PRODUCT lattice whose
+    normalized per-axis values are linspace(-1, 1, R) on every axis, and
+    generate_planes' axes are permutation matrices, so each plane's
+    trilinear sample of the lattice factorizes into three dense
+    interpolation matmuls (W, H, then depth) — ~10 GFLOPs of MXU work
+    replacing ~3*R^3 table-row gathers (the gather path runs at the
+    ~6.5 ns/row floor: ~40 ms at 128^3 flagship vs ~1 ms here; also no
+    brick table and no int8 quantization error on this path).
+
+    Bit-equivalent semantics to sigma_grid's gather path with a float
+    table (grid_sample align_corners=False + zeros padding: the
+    validity-folded corner weights become rows of the interp matrices).
+    """
+    g = generator
+    D = g.triplane_depth
+    R = shape_res
+    N, n_planes, CD, H, W = planes.shape
+    assert N == 1
+    C = CD // D
+    vals = jnp.linspace(-1.0, 1.0, R)   # == (2/box_warp) * create_samples
+
+    def interp_matrix(size):
+        x = ((vals + 1.0) * size - 1.0) * 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        w1 = x - x0
+        v0 = (x0 >= 0) & (x0 < size)
+        v1 = (x0 + 1 >= 0) & (x0 + 1 < size)
+        cols = jnp.arange(size)[None, :]
+        a = jnp.where((cols == jnp.clip(x0, 0, size - 1)[:, None]) & v0[:, None],
+                      (1.0 - w1)[:, None], 0.0)
+        b = jnp.where((cols == jnp.clip(x0 + 1, 0, size - 1)[:, None]) & v1[:, None],
+                      w1[:, None], 0.0)
+        return a + b                     # (R, size)
+
+    A_W, A_H = interp_matrix(W), interp_matrix(H)
+    # depth-1 (EG3D) planes sample with 2-D grid_sample — no depth lerp:
+    # the "interp" over the single layer is an identity take
+    A_D = jnp.ones((R, 1)) if D == 1 else interp_matrix(D)
+    vol = planes.astype(jnp.float32).reshape(n_planes, C, D, H, W)
+    inv = np.linalg.inv(g.renderer.plane_axes)          # (P, 3, 3) permutations
+
+    acc = jnp.zeros((C, R, R, R), jnp.float32)
+    for p in range(n_planes):
+        t1 = jnp.einsum("cdhw,aw->cdha", vol[p], A_W)   # plane-x resample
+        t2 = jnp.einsum("cdha,bh->cdba", t1, A_H)       # plane-y resample
+        t3 = jnp.einsum("cdba,ed->ceba", t2, A_D)       # plane-depth resample
+        # t3 axes (c, e=col2, b=col1, a=col0); world axis m feeds the
+        # plane column col with inv[p][m, col] == 1 — transpose (e, b, a)
+        # into world (i, j, k) lattice order
+        col_of_world = [int(np.argmax(inv[p][m])) for m in range(3)]
+        src_pos = {0: 3, 1: 2, 2: 1}                    # col -> t3 axis
+        perm = [0] + [src_pos[col_of_world[m]] for m in range(3)]
+        acc = acc + jnp.transpose(t3, perm)
+
+    feats = jnp.transpose(acc.reshape(C, R ** 3) / n_planes)  # (R^3, C)
+    out = g.decoder.apply(gen_params["decoder"], feats[None, None])
+    return out["sigma"][0, :, 0].reshape(R, R, R)
+
+
 def sigma_grid(
     generator, gen_params, planes, shape_res: int = 128, chunk: int = 2 ** 18,
-    table=None,
+    table=None, separable: bool = False,
 ) -> jax.Array:
     """Chunked density probe over the sampling cube -> (R, R, R).
 
     Equivalent of pano_get_target_sigma_color's sigma loop
     (ref target_dataloader.py:134-169): directions fixed to (0,0,-1).
     Chunked with lax.map so the 2.1M-point probe never materialises the
-    full intermediate feature tensor.
+    full intermediate feature tensor. separable=True dispatches to
+    sigma_grid_separable (lattice-resampling formulation; `table` and
+    `chunk` are then irrelevant).
     """
+    if separable:
+        return sigma_grid_separable(generator, gen_params, planes,
+                                    shape_res=shape_res)
     samples = create_samples(shape_res, generator.rk["box_warp"])  # (1, R^3, 3)
     n = samples.shape[1]
     assert n % chunk == 0, (n, chunk)

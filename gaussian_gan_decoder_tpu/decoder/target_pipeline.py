@@ -54,6 +54,9 @@ class TargetSamplerConfig:
     # marching-tetrahedra pack (surface.py): ~7x smaller compaction sorts
     # + no 2-D case gather. Default off until hardware-measured
     # (PERFORMANCE.md protocol).
+    sigma_separable: bool = False  # separable lattice-resampling sigma
+    # grid (surface.sigma_grid_separable): dense MXU interp matmuls
+    # instead of ~3*R^3 table-row gathers. Default off until measured.
     sigma_chunk: int = 2 ** 18
     neural_rendering_resolution: int = 64
 
@@ -125,7 +128,8 @@ def sample_target(
         planes = jax.lax.stop_gradient(planes)
         sigmas = jax.lax.stop_gradient(sigma_grid(
             generator, gen_params, planes, shape_res=cfg.shape_res,
-            chunk=cfg.sigma_chunk, table=table))
+            chunk=cfg.sigma_chunk, table=table,
+            separable=cfg.sigma_separable))
         result.vertices = marching_tetrahedra_sample(
             k_surf, sigmas, level=cfg.mc_level, n_points=cfg.num_points,
             surface_thickness=cfg.surface_thickness,
@@ -152,7 +156,7 @@ def sample_target(
 
     sigmas = sigma_grid(
         generator, gen_params, planes, shape_res=cfg.shape_res,
-        chunk=cfg.sigma_chunk, table=table,
+        chunk=cfg.sigma_chunk, table=table, separable=cfg.sigma_separable,
     )
     sigmas = jax.lax.stop_gradient(sigmas)
 

@@ -80,6 +80,7 @@ def main():
         int8_probe=_env_flag("DS_INT8_PROBE"),
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         mt_two_stage=_env_flag("DS_MT2"),
+        sigma_separable=_env_flag("DS_SIGMA_SEP"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )
@@ -137,6 +138,7 @@ def stage_ablate():
         int8_probe=_env_flag("DS_INT8_PROBE"),
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         mt_two_stage=_env_flag("DS_MT2"),
+        sigma_separable=_env_flag("DS_SIGMA_SEP"),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )
@@ -235,7 +237,8 @@ def stage_ablate():
                          else jnp.bfloat16 if tcfg.bf16_probe else None),
             pallas_build=tcfg.pallas_probe_build)
         sig = sigma_grid(gen, gp, planes, shape_res=tcfg.shape_res,
-                         chunk=tcfg.sigma_chunk, table=table)
+                         chunk=tcfg.sigma_chunk, table=table,
+                         separable=tcfg.sigma_separable)
         return jnp.sum(sig[::31, ::31, ::31])
     timed("planes + sigma grid", f_sigma)
 
@@ -249,7 +252,8 @@ def stage_ablate():
                          else jnp.bfloat16 if tcfg.bf16_probe else None),
             pallas_build=tcfg.pallas_probe_build)
         sig = sigma_grid(gen, gp, planes, shape_res=tcfg.shape_res,
-                         chunk=tcfg.sigma_chunk, table=table)
+                         chunk=tcfg.sigma_chunk, table=table,
+                         separable=tcfg.sigma_separable)
         v = marching_tetrahedra_sample(k, sig, level=tcfg.mc_level,
                                        n_points=tcfg.num_points,
                                        surface_thickness=tcfg.surface_thickness,

@@ -250,6 +250,24 @@ def test_marching_tetrahedra_two_stage_cube_overflow():
     assert np.isfinite(np.asarray(packed)).all()
 
 
+@pytest.mark.parametrize("variant", ["panohead", "eg3d"])
+def test_sigma_grid_separable_matches_gather(variant):
+    """Separable lattice-resampling sigma grid == the chunked gather path
+    (same grid_sample corner semantics, f32 end to end)."""
+    from gaussian_gan_decoder_tpu.decoder.surface import sigma_grid
+
+    gen = tiny_generator(variant)
+    gp = gen.init(jax.random.PRNGKey(1))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, gen.z_dim))
+    ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
+    planes = gen.synthesis_planes(gp, ws, noise_mode="const")
+    ref = np.asarray(sigma_grid(gen, gp, planes, shape_res=16, chunk=2 ** 10))
+    sep = np.asarray(sigma_grid(gen, gp, planes, shape_res=16,
+                                separable=True))
+    assert sep.shape == ref.shape == (16, 16, 16)
+    np.testing.assert_allclose(sep, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_no_finetune_plane_reuse_equivalence():
     """train.distill reuses the FROZEN target's feature planes when
     use_gen_finetune=False (the copy's params never diverge and the
