@@ -88,12 +88,39 @@ def main():
     img_mid = run("pallas non-slab", dec_mid, "pallas", rcfg)
     img_ref = run("f32 XLA oracle", dec_ref, "xla", rcfg_ref)
 
+    # the BASELINE.md acceptance is rasterizer-vs-rasterizer on IDENTICAL
+    # gaussian sets: decode once with the exact f32 oracle settings, then
+    # render the SAME set through the fast Pallas raster (deployed config)
+    # and the XLA reference raster
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.splat.rasterize import render_simple
+
+    t0 = time.perf_counter()
+    cam = make_camera(image_size, fov, cam2world)
+    bgv = jnp.asarray((0.55717, 0.52256, 0.51045), jnp.float32)
+
+    @jax.jit
+    def raster_pair(p, zz):
+        d = dec_ref.apply(p, zz, cp, init_pos, 1.0)
+        a = render_simple(cam, d, bg=bgv, config=rcfg,
+                          backend="pallas")["render"][:3]
+        b = render_simple(cam, d, bg=bgv, config=rcfg_ref,
+                          backend="xla")["render"][:3]
+        return a, b
+
+    ra, rb = raster_pair(params, z)
+    ra = np.asarray(jnp.clip(ra, 0, 1), np.float64)
+    rb = np.asarray(jnp.clip(rb, 0, 1), np.float64)
+    print(f"raster-isolated pair: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
     def psnr(a, b):
         mse = np.mean((a - b) ** 2)
         return 10 * np.log10(1.0 / max(mse, 1e-12))
 
     import json
     print(json.dumps({
+        "psnr_raster_identical_sets_db": round(psnr(ra, rb), 2),
         "psnr_slab_vs_oracle_db": round(psnr(img_slab, img_ref), 2),
         "psnr_pallas_vs_oracle_db": round(psnr(img_mid, img_ref), 2),
         "psnr_slab_vs_pallas_db": round(psnr(img_slab, img_mid), 2),
