@@ -81,6 +81,8 @@ def main():
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         mt_two_stage=_env_flag("DS_MT2"),
         sigma_separable=_env_flag("DS_SIGMA_SEP"),
+        **({"face_capacity": int(os.environ["DS_FACE_CAP"])}
+           if os.environ.get("DS_FACE_CAP") else {}),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )
@@ -139,6 +141,8 @@ def stage_ablate():
         pallas_probe_build=_build_mode("DS_PALLAS_BUILD"),
         mt_two_stage=_env_flag("DS_MT2"),
         sigma_separable=_env_flag("DS_SIGMA_SEP"),
+        **({"face_capacity": int(os.environ["DS_FACE_CAP"])}
+           if os.environ.get("DS_FACE_CAP") else {}),
         **({"shape_res": 16, "num_points": 512, "sigma_chunk": 4096}
            if SMOKE else {}),
     )
