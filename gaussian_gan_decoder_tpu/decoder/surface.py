@@ -193,7 +193,7 @@ def _marching_tetrahedra_packed(sigmas, level, face_capacity,
 
         v8 = jnp.take(v.T, cube_ids, axis=0)             # (CC, 8)
         ins = [(v8[:, c] > level).astype(jnp.int32) for c in range(8)]
-        keys, combos, cids = [], [], []
+        keys, payloads = [], []
         base = jnp.arange(CC, dtype=jnp.int32)
         for tt in range(12):
             t, tri = tt // 2, tt % 2
@@ -203,16 +203,18 @@ def _marching_tetrahedra_packed(sigmas, level, face_capacity,
             val = ((n_in > 0) & (n_in < 4)) if tri == 0 else (n_in == 2)
             val = val & ~cube_fill
             keys.append(jnp.where(val, tt * CC + base, INF))
-            combos.append(tt * 16 + case_t)
-            cids.append(cube_ids)
+            # ONE packed payload (cube << 8 | combo): sorts move each
+            # operand at streaming bandwidth, so fewer operands = less
+            # moved. combo < 192 fits 8 bits; cube < (R-1)^3 < 2^23.
+            payloads.append((cube_ids << 8) | (tt * 16 + case_t))
         key_b = jnp.concatenate(keys)
         n_faces = jnp.sum((key_b != INF).astype(jnp.int32))
-        k_s, combo, cube = jax.lax.sort(
-            [key_b, jnp.concatenate(combos), jnp.concatenate(cids)],
-            num_keys=1)
+        k_s, packed_pc = jax.lax.sort(
+            [key_b, jnp.concatenate(payloads)], num_keys=1)
         fill = k_s[:face_capacity] == INF
-        combo = jnp.where(fill, 0, combo[:face_capacity])
-        cube = jnp.where(fill, 0, cube[:face_capacity])
+        packed_pc = jnp.where(fill, 0, packed_pc[:face_capacity])
+        combo = packed_pc & 0xFF
+        cube = packed_pc >> 8
         # combo-row lookup as one-hot x (192, 24) MXU matmul: a
         # face_capacity-row gather costs ~9 ns/row (~9 ms at 2^20) while
         # the equivalent (F, 192)@(192, 24) runs in well under 1 ms; the
