@@ -181,6 +181,7 @@ def _marching_tetrahedra_packed(sigmas, level, face_capacity,
     v = _corner_values(sigmas)                            # (8, C)
 
     if two_stage:
+        assert C < (1 << 23), (C, "cube<<8 payload packing needs int32")
         CC = min(cube_capacity, C)
         inside8 = [(v[c] > level).astype(jnp.int32) for c in range(8)]
         n_in8 = sum(inside8)
