@@ -112,7 +112,9 @@ def main():
         # poly6 GELU default on the slab path: 27.98 vs 27.27 fps measured;
         # its 1.8e-3 approx error sits under the int8 features' 2^-7 floor
         dec = _dcs2.replace(dec, slab_sampling=True,
-                            gelu=os.environ.get("BENCH_GELU", "poly6"))
+                            gelu=os.environ.get("BENCH_GELU", "poly6"),
+                            slab_clip_q=float(
+                                os.environ.get("BENCH_SLAB_CLIPQ", "0")))
         # host-pack disk cache (warm start skips the greedy pack; the jit
         # compile cache above skips the tunnel compile). BENCH_SLAB_CACHE=0
         # disables for cold-build timing studies.

@@ -130,6 +130,9 @@ class GaussianDecoder:
     # pure launch latency (2.45 ms/frame measured); one pallas_call runs
     # the whole chain (models/pallas_mapping.py). bf16 weights — inference
     # decode path only, torch-parity paths keep the XLA mapping
+    slab_clip_q: float = 0.0      # percentile int8 scales for the slab
+    # volume (build_slab_volume clip_quantile): 0 = absmax (exact range);
+    # e.g. 0.9995 clips the outlier tail for ~halved quantization step
     slab_int8_weights: bool = True  # quantize the static (z,y) lerp weight
     # matrix to int8 (x127, dequant folded into the segment matrix): the
     # MXU contraction runs s8 x s8 -> s32 at 2x the bf16 rate with half
@@ -488,7 +491,8 @@ class GaussianDecoder:
             from ..neuralfield.renderer import build_slab_volume
             from .pallas_heads import decode_project_pallas_slab
 
-            vol, scales = build_slab_volume(planes, g.triplane_depth)
+            vol, scales = build_slab_volume(planes, g.triplane_depth,
+                                            clip_quantile=self.slab_clip_q)
             return decode_project_pallas_slab(
                 {name: params[name] for name, _ in _CHAINS[self.decoder_type]},
                 _CHAINS[self.decoder_type],

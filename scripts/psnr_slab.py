@@ -42,7 +42,8 @@ def main():
 
     gen = flagship_generator()
     dec_fast = dataclasses.replace(
-        flagship_decoder(gen=gen), slab_sampling=True, gelu="poly6")
+        flagship_decoder(gen=gen), slab_sampling=True, gelu="poly6",
+        slab_clip_q=float(os.environ.get("PSNR_CLIPQ", "0")))
     # oracle: every approximation off (f32 sampling, exact GELU, XLA heads)
     dec_ref = dataclasses.replace(
         dec_fast, slab_sampling=False, int8_sampling=False,
