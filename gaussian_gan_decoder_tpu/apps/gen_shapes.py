@@ -7,6 +7,7 @@ run (on-device) marching tetrahedra, write the volume and mesh.
 from __future__ import annotations
 
 import argparse
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -51,10 +52,13 @@ def main(argv=None):
     save_mrc(args.out + ".mrc", sig_np)
     print(f"wrote {args.out}.mrc  (sigma range {sig_np.min():.2f}..{sig_np.max():.2f})")
 
-    verts, n_faces = marching_tetrahedra_faces(
+    verts, n_faces, n_dropped = marching_tetrahedra_faces(
         sig, level=args.level,
         face_capacity=min(2 ** 21, 12 * (args.shape_res - 1) ** 3),
     )
+    if int(n_dropped):
+        print(f"WARNING: cube_capacity bound — {int(n_dropped)} crossed "
+              "cubes dropped (mesh is spatially truncated)", file=sys.stderr)
     save_mesh_ply(args.out + ".ply", np.asarray(verts), int(n_faces))
     print(f"wrote {args.out}.ply  ({int(n_faces)} faces)")
 

@@ -378,8 +378,14 @@ class GaussianDecoder:
             dzw, ey = DZW, 32
         verbose = bool(os.environ.get("GGD_SLAB_VERBOSE"))
 
-        def _stamp(label, t0):
+        def _stamp(label, t0, *block_on):
+            # stamps measure WORK, not dispatch: block on the stage's
+            # actual outputs before reading the clock (the r4 verbose
+            # breakdown summed to 1.6 s against a 670 s wall because only
+            # wzy was ever blocked on — async dispatch artifacts)
             if verbose:
+                for a in block_on:
+                    jax.block_until_ready(a)
                 print(f"slab ctx: {label} {_time.perf_counter() - t0:.1f}s",
                       file=sys.stderr)
             return _time.perf_counter()
@@ -389,6 +395,10 @@ class GaussianDecoder:
         if cache_dir:
             h = hashlib.sha256()
             h.update(pos_np.tobytes())
+            # plane_axes drive build_point_blocks/compact_indices index
+            # layout and validity bits — two generators with identical
+            # sizes but different axis conventions must not share a pack
+            h.update(np.asarray(g.renderer.plane_axes, np.float32).tobytes())
             h.update(repr((sizes, float(g.rk["box_warp"]), block,
                            (dzw, ey, bilinear), "slab_pack_v1")).encode())
             cache_path = os.path.join(cache_dir,
@@ -433,9 +443,8 @@ class GaussianDecoder:
         wzy, axs = build_slab_weights(
             pb, g.renderer.plane_axes, g.rk["box_warp"], sizes, idx16=idx16,
             dzw=dzw, bilinear=bilinear)
-        if verbose:
-            jax.block_until_ready(wzy)
-        t0 = _stamp("device weight build (compile + exec + transfer)", t0)
+        t0 = _stamp("device weight build (compile + exec + transfer)", t0,
+                    wzy, axs)
         positions = jnp.asarray(pb.positions)
         chain_spec = _CHAINS[self.decoder_type]
         dtype = jnp.bfloat16 if self.heads_bf16 else jnp.float32
@@ -458,9 +467,7 @@ class GaussianDecoder:
             return w, aux
 
         wzy, aux = _tail(wzy, positions, jnp.asarray(pb.valid))
-        if verbose:
-            jax.block_until_ready(wzy)
-        t0 = _stamp("quant + staging tail", t0)
+        t0 = _stamp("quant + staging tail", t0, wzy, aux)
         # inv_slot[original point index] = packed slot index: unpermutes
         # slab-path outputs back to template order (rows[:, inv_slot])
         inv_slot = np.zeros(pb.n_points, np.int32)

@@ -103,15 +103,17 @@ def marching_tetrahedra_faces(
     level: float = 10.0,
     face_capacity: int = 2 ** 20,
     two_stage: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """-> (verts (face_capacity, 3, 3) normalised coords, n_faces scalar).
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (verts (face_capacity, 3, 3) normalised coords, n_faces scalar,
+    n_dropped_cubes scalar — two-stage cube-capacity overflow, 0 when the
+    capacity did not bind).
 
     Vertex coords follow the reference normalisation idx/R - 0.5."""
-    packed, n_faces = _marching_tetrahedra_packed(
+    packed, n_faces, n_dropped = _marching_tetrahedra_packed(
         sigmas, level, face_capacity, two_stage=two_stage)
     R = sigmas.shape[0]
     verts = packed[:, :9].reshape(-1, 3, 3) / R - 0.5
-    return verts, n_faces
+    return verts, n_faces, n_dropped
 
 
 def _combo_table():
@@ -154,7 +156,15 @@ def _corner_values(sigmas):
 def _marching_tetrahedra_packed(sigmas, level, face_capacity,
                                 two_stage=False, cube_capacity=2 ** 18):
     """-> (packed (F, 16) f32: cols 0..8 = the 3 vertices' xyz in INDEX
-    space, 9.. zero; n_faces).
+    space, 9.. zero; n_faces; n_dropped_cubes).
+
+    n_dropped_cubes is the two-stage overflow signal: crossed cubes
+    beyond cube_capacity are dropped BEFORE face enumeration (their
+    faces never reach n_faces), and the ascending-id compaction keeps a
+    spatially biased low-index corner of the volume — so the drop count
+    must be observable, matching the repo's n_dropped convention
+    elsewhere. Always 0 on the single-stage path (whose only loss is
+    the face_capacity clamp, visible via n_faces > face_capacity).
 
     Channel-major/packed implementation: the straightforward (F, 3, 3)
     formulation materialises rank-3 arrays whose (3, 3) minor dims pad to
@@ -186,6 +196,8 @@ def _marching_tetrahedra_packed(sigmas, level, face_capacity,
         inside8 = [(v[c] > level).astype(jnp.int32) for c in range(8)]
         n_in8 = sum(inside8)
         crossed = (n_in8 > 0) & (n_in8 < 8)
+        n_crossed = jnp.sum(crossed.astype(jnp.int32))
+        n_dropped_cubes = jnp.maximum(n_crossed - CC, 0)
         iota_c = jnp.arange(C, dtype=jnp.int32)
         key_a = jnp.where(crossed, iota_c, INF)
         cube_ids_raw = jax.lax.sort([key_a], num_keys=1)[0][:CC]
@@ -229,6 +241,7 @@ def _marching_tetrahedra_packed(sigmas, level, face_capacity,
         # cases + validity per tet, (6, C) — validity via POPCOUNT
         # arithmetic: a table lookup _TRI_VALID[cases] is 12.3M scalar-row
         # gathers
+        n_dropped_cubes = jnp.int32(0)
         cases = jnp.zeros((6, C), jnp.int32)
         valid0 = jnp.zeros((6, C), jnp.bool_)
         valid1 = jnp.zeros((6, C), jnp.bool_)
@@ -290,7 +303,7 @@ def _marching_tetrahedra_packed(sigmas, level, face_capacity,
             cols.append(pa + t_lerp * (pb - pa))          # index space
 
     packed = jnp.stack(cols + [jnp.zeros_like(cols[0])] * 7, axis=1)  # (F, 16)
-    return packed, n_faces
+    return packed, n_faces, n_dropped_cubes
 
 
 def marching_tetrahedra_sample(
@@ -305,7 +318,7 @@ def marching_tetrahedra_sample(
     """Surface point cloud (n_points, 3) like the reference's
     marching-cubes + barycentric + thickness pipeline."""
     kf, kw, ks = jax.random.split(key, 3)
-    packed, n_faces = _marching_tetrahedra_packed(
+    packed, n_faces, _ = _marching_tetrahedra_packed(
         sigmas, level, face_capacity, two_stage=two_stage)
     R = sigmas.shape[0]
     n_eff = jnp.maximum(jnp.minimum(n_faces, face_capacity), 1)
@@ -404,10 +417,17 @@ def sigma_grid(
     (ref target_dataloader.py:134-169): directions fixed to (0,0,-1).
     Chunked with lax.map so the 2.1M-point probe never materialises the
     full intermediate feature tensor. separable=True dispatches to
-    sigma_grid_separable (lattice-resampling formulation; `table` and
-    `chunk` are then irrelevant).
+    sigma_grid_separable (lattice-resampling formulation), which samples
+    the RAW planes — a pre-built brick `table` (and its bf16/int8 probe
+    quantization) would be silently ignored, so passing one is an error:
+    build the table only on the gather path (ADVICE r4).
     """
     if separable:
+        assert table is None, (
+            "sigma_grid(separable=True) samples the raw planes directly; "
+            "a brick table (and any bf16/int8 probe quantization baked "
+            "into it) would be ignored — skip build_sampling_table on "
+            "this path")
         return sigma_grid_separable(generator, gen_params, planes,
                                     shape_res=shape_res)
     samples = create_samples(shape_res, generator.rk["box_warp"])  # (1, R^3, 3)

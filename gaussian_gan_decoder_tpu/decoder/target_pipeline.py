@@ -117,18 +117,25 @@ def sample_target(
         )
     planes = generator.synthesis_planes(gen_params, ws, noise_mode="const")
     # ONE brick table for the render probes (coarse+importance) AND the
-    # sigma grid below — all probe the same frozen planes
+    # sigma grid below — all probe the same frozen planes. The separable
+    # sigma grid samples the raw planes (no table): skip the build when
+    # it is the only consumer, and never hand it a table it would ignore.
     probe_dtype = (jnp.int8 if cfg.int8_probe
                    else jnp.bfloat16 if cfg.bf16_probe else None)
-    table = generator.build_sampling_table(
-        planes, brick_dtype=probe_dtype, pallas_build=cfg.pallas_probe_build,
-    )
-    table = jax.lax.stop_gradient(table)
+    if only_surface and cfg.sigma_separable:
+        table = None
+    else:
+        table = generator.build_sampling_table(
+            planes, brick_dtype=probe_dtype,
+            pallas_build=cfg.pallas_probe_build,
+        )
+        table = jax.lax.stop_gradient(table)
+    sigma_table = None if cfg.sigma_separable else table
     if only_surface:
         planes = jax.lax.stop_gradient(planes)
         sigmas = jax.lax.stop_gradient(sigma_grid(
             generator, gen_params, planes, shape_res=cfg.shape_res,
-            chunk=cfg.sigma_chunk, table=table,
+            chunk=cfg.sigma_chunk, table=sigma_table,
             separable=cfg.sigma_separable))
         result.vertices = marching_tetrahedra_sample(
             k_surf, sigmas, level=cfg.mc_level, n_points=cfg.num_points,
@@ -156,7 +163,8 @@ def sample_target(
 
     sigmas = sigma_grid(
         generator, gen_params, planes, shape_res=cfg.shape_res,
-        chunk=cfg.sigma_chunk, table=table, separable=cfg.sigma_separable,
+        chunk=cfg.sigma_chunk, table=sigma_table,
+        separable=cfg.sigma_separable,
     )
     sigmas = jax.lax.stop_gradient(sigmas)
 

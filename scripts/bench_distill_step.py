@@ -231,17 +231,22 @@ def stage_ablate():
         if not gen.without_sr:   # smoke generators skip the SR stack
             timed("  + superresolution", lambda k, i: _render(k, "image"))
 
-    def f_sigma(k, i):
-        z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
-        ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
-        planes = gen.synthesis_planes(gp, ws, noise_mode="const")
-        table = gen.build_sampling_table(
+    def _probe_table(planes):
+        # the separable sigma grid samples raw planes — no table at all
+        if tcfg.sigma_separable:
+            return None
+        return gen.build_sampling_table(
             planes,
             brick_dtype=(jnp.int8 if tcfg.int8_probe
                          else jnp.bfloat16 if tcfg.bf16_probe else None),
             pallas_build=tcfg.pallas_probe_build)
+
+    def f_sigma(k, i):
+        z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
+        ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
+        planes = gen.synthesis_planes(gp, ws, noise_mode="const")
         sig = sigma_grid(gen, gp, planes, shape_res=tcfg.shape_res,
-                         chunk=tcfg.sigma_chunk, table=table,
+                         chunk=tcfg.sigma_chunk, table=_probe_table(planes),
                          separable=tcfg.sigma_separable)
         return jnp.sum(sig[::31, ::31, ::31])
     timed("planes + sigma grid", f_sigma)
@@ -250,13 +255,8 @@ def stage_ablate():
         z = jax.random.normal(jax.random.fold_in(k, 1), (1, gen.z_dim))
         ws = gen.mapping(gp, z, jnp.zeros((1, 25)), truncation_psi=1.0)
         planes = gen.synthesis_planes(gp, ws, noise_mode="const")
-        table = gen.build_sampling_table(
-            planes,
-            brick_dtype=(jnp.int8 if tcfg.int8_probe
-                         else jnp.bfloat16 if tcfg.bf16_probe else None),
-            pallas_build=tcfg.pallas_probe_build)
         sig = sigma_grid(gen, gp, planes, shape_res=tcfg.shape_res,
-                         chunk=tcfg.sigma_chunk, table=table,
+                         chunk=tcfg.sigma_chunk, table=_probe_table(planes),
                          separable=tcfg.sigma_separable)
         v = marching_tetrahedra_sample(k, sig, level=tcfg.mc_level,
                                        n_points=tcfg.num_points,

@@ -30,6 +30,32 @@ if not os.environ.get("PSNR_NO_CACHE"):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _camera_set(n_cams: int, fov_deg: float = 13.0):
+    """Frontal + alternating yaw offsets (±0.35, ±0.7 rad ...) around the
+    reference's pi/2 frontal orbit (target_dataloader.py:177-204 geometry).
+    Returns a list of (camera_params (1,25), cam2world (4,4))."""
+    import math
+
+    from gaussian_gan_decoder_tpu.decoder.camera_sampling import (
+        FOV_to_intrinsics, _pose_from_hv)
+
+    intr = FOV_to_intrinsics(jnp.asarray(fov_deg, jnp.float32))
+    offs = [0.0]
+    step = 0.35
+    while len(offs) < n_cams:
+        k = (len(offs) + 1) // 2
+        offs.append(step * k if len(offs) % 2 == 1 else -step * k)
+    cams = []
+    for dy in offs[:n_cams]:
+        h = jnp.asarray([[math.pi / 2 + dy]], jnp.float32)
+        v = jnp.asarray([[math.pi / 2]], jnp.float32)
+        pose = _pose_from_hv(h, v, 2.7)
+        cp = jnp.concatenate(
+            [pose.reshape(1, 16), intr.reshape(1, 9).astype(pose.dtype)], axis=1)
+        cams.append((cp, pose.reshape(4, 4)))
+    return cams
+
+
 def main():
     import dataclasses
 
@@ -39,6 +65,8 @@ def main():
 
     n_points = int(os.environ.get("PSNR_POINTS", 500_000))
     image_size = int(os.environ.get("PSNR_IMAGE", 512))
+    n_latents = int(os.environ.get("PSNR_LATENTS", 4))
+    n_cams = int(os.environ.get("PSNR_CAMERAS", 3))
 
     gen = flagship_generator()
     dec_fast = dataclasses.replace(
@@ -59,11 +87,12 @@ def main():
     rcfg = flagship_raster_config()
     rcfg_ref = dataclasses.replace(rcfg, packed_payloads=False,
                                    bf16_colors=False, fused_sort_key=False)
-    z = jax.random.normal(jax.random.PRNGKey(3), (1, 512))
-
-    ctx = dec_fast.make_slab_context(init_pos, cache_dir="/tmp/slab_ctx_cache")
+    zs = jax.random.normal(jax.random.PRNGKey(3), (n_latents, 1, 512))
+    cams = _camera_set(n_cams)
 
     from gaussian_gan_decoder_tpu.utils import EasyDict
+
+    ctx = None  # built lazily — the ablate mode never needs the slab pack
 
     def _merge(sa):
         if sa is None:
@@ -72,22 +101,57 @@ def main():
         merged.update(sa)
         return merged
 
-    def run(tag, dec, backend, cfg, slab=None):
-        t0 = time.perf_counter()
-        img, _ = jax.jit(
-            lambda p, zz, sa: decode_and_render(
-                dec, p, zz, cp, cam2world, init_pos, fov,
+    def make_run(tag, dec, backend, cfg, slab=None):
+        # cp/cam2world are traced args -> ONE compile across the view grid
+        fn = jax.jit(
+            lambda p, zz, cp_, c2w, sa: decode_and_render(
+                dec, p, zz, cp_, c2w, init_pos, fov,
                 image_size=image_size, raster_cfg=cfg, backend=backend,
-                slab_ctx=_merge(sa)),
-        )(params, z, slab)
-        img = np.asarray(jnp.clip(img, 0.0, 1.0), np.float64)
-        print(f"{tag}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-        return img
+                slab_ctx=_merge(sa))[0])
 
-    img_slab = run("slab", dec_fast, "pallas", rcfg,
-                   slab={k: ctx[k] for k in ("origins", "wzy", "axs", "aux")})
-    img_mid = run("pallas non-slab", dec_mid, "pallas", rcfg)
-    img_ref = run("f32 XLA oracle", dec_ref, "xla", rcfg_ref)
+        def run(zz, cp_, c2w):
+            t0 = time.perf_counter()
+            img = fn(params, zz, cp_, c2w, slab)
+            img = np.asarray(jnp.clip(img, 0.0, 1.0), np.float64)
+            print(f"{tag}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+            return img
+
+        return run
+
+    if os.environ.get("PSNR_ABLATE"):
+        # error-source ladder (1 latent x 1 camera): which shared knob of
+        # the fast decode stack carries the ~38 dB full-path deviation?
+        # (clip_q moved slab-vs-pallas but NOT vs-oracle: the culprit is
+        # shared by the slab and non-slab pallas paths.)
+        import json
+        variants = {
+            "mid_anchor": {},
+            "gelu_exact": {"gelu": "exact"},
+            "bf16_bricks": {"int8_sampling": False},
+            "f32_bricks": {"int8_sampling": False, "bf16_sampling": False},
+            "heads_f32": {"heads_bf16": False},
+            "xla_heads": {"pallas_heads": False, "heads_bf16": False},
+            "xla_heads_exact_gelu": {"pallas_heads": False,
+                                     "heads_bf16": False, "gelu": "exact"},
+        }
+        cp0, c2w0 = _camera_set(1)[0]
+        z0 = zs[0]
+        img_ref = make_run("oracle", dec_ref, "xla", rcfg_ref)(z0, cp0, c2w0)
+        out = {}
+        for name, kw in variants.items():
+            d = dataclasses.replace(dec_mid, **kw)
+            img = make_run(name, d, "pallas", rcfg)(z0, cp0, c2w0)
+            mse_v = float(np.mean((img - img_ref) ** 2))
+            out[name] = round(10 * np.log10(1.0 / max(mse_v, 1e-12)), 2)
+            print(f"{name}: {out[name]} dB", file=sys.stderr)
+        print(json.dumps({"psnr_ablate_vs_oracle_db": out}))
+        return
+
+    ctx = dec_fast.make_slab_context(init_pos, cache_dir="/tmp/slab_ctx_cache")
+    slab_args = {k: ctx[k] for k in ("origins", "wzy", "axs", "aux")}
+    run_slab = make_run("slab", dec_fast, "pallas", rcfg, slab=slab_args)
+    run_mid = make_run("pallas non-slab", dec_mid, "pallas", rcfg)
+    run_ref = make_run("f32 XLA oracle", dec_ref, "xla", rcfg_ref)
 
     # the BASELINE.md acceptance is rasterizer-vs-rasterizer on IDENTICAL
     # gaussian sets: decode once with the exact f32 oracle settings, then
@@ -96,36 +160,55 @@ def main():
     from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
     from gaussian_gan_decoder_tpu.splat.rasterize import render_simple
 
-    t0 = time.perf_counter()
-    cam = make_camera(image_size, fov, cam2world)
     bgv = jnp.asarray((0.55717, 0.52256, 0.51045), jnp.float32)
 
     @jax.jit
-    def raster_pair(p, zz):
-        d = dec_ref.apply(p, zz, cp, init_pos, 1.0)
+    def raster_pair(p, zz, cp_, c2w):
+        cam = make_camera(image_size, fov, c2w)
+        d = dec_ref.apply(p, zz, cp_, init_pos, 1.0)
         a = render_simple(cam, d, bg=bgv, config=rcfg,
                           backend="pallas")["render"][:3]
         b = render_simple(cam, d, bg=bgv, config=rcfg_ref,
                           backend="xla")["render"][:3]
         return a, b
 
-    ra, rb = raster_pair(params, z)
-    ra = np.asarray(jnp.clip(ra, 0, 1), np.float64)
-    rb = np.asarray(jnp.clip(rb, 0, 1), np.float64)
-    print(f"raster-isolated pair: {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    def psnr_of(mses):
+        return 10 * np.log10(1.0 / max(float(np.mean(mses)), 1e-12))
 
-    def psnr(a, b):
-        mse = np.mean((a - b) ** 2)
-        return 10 * np.log10(1.0 / max(mse, 1e-12))
+    mse = {"raster": [], "slab_ref": [], "mid_ref": [], "slab_mid": []}
+    for li in range(n_latents):
+        for ci, (cp_i, c2w_i) in enumerate(cams):
+            z = zs[li]
+            img_slab = run_slab(z, cp_i, c2w_i)
+            img_mid = run_mid(z, cp_i, c2w_i)
+            img_ref = run_ref(z, cp_i, c2w_i)
+            t0 = time.perf_counter()
+            ra, rb = raster_pair(params, z, cp_i, c2w_i)
+            ra = np.asarray(jnp.clip(ra, 0, 1), np.float64)
+            rb = np.asarray(jnp.clip(rb, 0, 1), np.float64)
+            print(f"raster pair [{li},{ci}]: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+            mse["raster"].append(np.mean((ra - rb) ** 2))
+            mse["slab_ref"].append(np.mean((img_slab - img_ref) ** 2))
+            mse["mid_ref"].append(np.mean((img_mid - img_ref) ** 2))
+            mse["slab_mid"].append(np.mean((img_slab - img_mid) ** 2))
+            print(f"frame[{li},{ci}] raster={psnr_of(mse['raster'][-1:]):.2f} "
+                  f"slab_vs_oracle={psnr_of(mse['slab_ref'][-1:]):.2f}",
+                  file=sys.stderr)
 
     import json
     print(json.dumps({
-        "psnr_raster_identical_sets_db": round(psnr(ra, rb), 2),
-        "psnr_slab_vs_oracle_db": round(psnr(img_slab, img_ref), 2),
-        "psnr_pallas_vs_oracle_db": round(psnr(img_mid, img_ref), 2),
-        "psnr_slab_vs_pallas_db": round(psnr(img_slab, img_mid), 2),
+        "psnr_raster_identical_sets_db": round(psnr_of(mse["raster"]), 2),
+        "psnr_raster_identical_sets_min_db": round(
+            min(psnr_of([m]) for m in mse["raster"]), 2),
+        "psnr_slab_vs_oracle_db": round(psnr_of(mse["slab_ref"]), 2),
+        "psnr_slab_vs_oracle_min_db": round(
+            min(psnr_of([m]) for m in mse["slab_ref"]), 2),
+        "psnr_pallas_vs_oracle_db": round(psnr_of(mse["mid_ref"]), 2),
+        "psnr_slab_vs_pallas_db": round(psnr_of(mse["slab_mid"]), 2),
         "image": image_size, "points": n_points,
+        "latents": n_latents, "cameras": n_cams,
+        "clip_q": dec_fast.slab_clip_q,
     }))
 
 

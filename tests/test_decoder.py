@@ -176,7 +176,9 @@ def test_marching_tetrahedra_face_count_and_thickness():
     grid = np.asarray(create_samples(R, 1.0))[0].reshape(R, R, R, 3)
     dist = np.linalg.norm(grid, axis=-1)
     sigmas = jnp.asarray(100.0 * (0.45 - dist))  # level 10 at dist = 0.35
-    _, n_faces = marching_tetrahedra_faces(sigmas, 10.0, face_capacity=2 ** 15)
+    _, n_faces, n_dropped = marching_tetrahedra_faces(
+        sigmas, 10.0, face_capacity=2 ** 15)
+    assert int(n_dropped) == 0
     assert int(n_faces) > 1000
     pts = marching_tetrahedra_sample(
         jax.random.PRNGKey(1), sigmas, level=10.0, n_points=2000,
@@ -204,10 +206,11 @@ def test_marching_tetrahedra_two_stage_parity():
     bumps = 0.05 * np.sin(grid[..., 0] * 37) * np.cos(grid[..., 1] * 29)
     sigmas = jnp.asarray(60.0 * (0.37 + bumps - dist))
     cap = 2 ** 16
-    p_ref, n_ref = _marching_tetrahedra_packed(sigmas, 10.0, cap)
-    p_two, n_two = _marching_tetrahedra_packed(sigmas, 10.0, cap,
-                                               two_stage=True)
+    p_ref, n_ref, d_ref = _marching_tetrahedra_packed(sigmas, 10.0, cap)
+    p_two, n_two, d_two = _marching_tetrahedra_packed(sigmas, 10.0, cap,
+                                                      two_stage=True)
     assert int(n_ref) == int(n_two)
+    assert int(d_ref) == 0 and int(d_two) == 0
     n = int(n_ref)
     assert 0 < n < cap  # capacities not binding — sets must match exactly
     a = np.asarray(p_ref)[:n, :9]
@@ -241,11 +244,20 @@ def test_marching_tetrahedra_two_stage_cube_overflow():
     grid = np.asarray(create_samples(R, 1.0))[0].reshape(R, R, R, 3)
     dist = np.linalg.norm(grid, axis=-1)
     sigmas = jnp.asarray(60.0 * (0.3 - dist))
-    _, n_full = _marching_tetrahedra_packed(sigmas, 10.0, 2 ** 14,
-                                            two_stage=True)
-    packed, n_cap = _marching_tetrahedra_packed(
+    _, n_full, d_full = _marching_tetrahedra_packed(sigmas, 10.0, 2 ** 14,
+                                                    two_stage=True)
+    packed, n_cap, d_cap = _marching_tetrahedra_packed(
         sigmas, 10.0, 2 ** 14, two_stage=True, cube_capacity=64)
     assert 0 < int(n_cap) < int(n_full)
+    # the overflow is OBSERVABLE: dropped-cube count reported (ADVICE r4)
+    assert int(d_full) == 0
+    assert int(d_cap) > 0
+    # every crossed cube either kept (64) or counted dropped
+    from gaussian_gan_decoder_tpu.decoder.surface import _corner_values
+    v = np.asarray(_corner_values(sigmas))
+    n_in = (v > 10.0).sum(0)
+    n_crossed = int(((n_in > 0) & (n_in < 8)).sum())
+    assert int(d_cap) == n_crossed - 64
     # packed rows beyond n_cap are clipped fill, not NaN/garbage
     assert np.isfinite(np.asarray(packed)).all()
 

@@ -39,6 +39,11 @@ def test_full_eval_pipeline(tmp_path):
     assert os.path.exists(os.path.join(out, "full_eval.json"))
     assert "toy" in summary
     assert "PSNR" in summary["toy"]["mean"]
+    # LPIPS column (ref gaussian_splatting/metrics.py:36-55 layout):
+    # per-view rows + mean, finite values
+    assert "LPIPS" in summary["toy"]["mean"]
+    assert all("LPIPS" in r for r in summary["toy"]["per_view"])
+    assert np.isfinite(summary["toy"]["mean"]["LPIPS"])
     # renders on disk
     renders = os.listdir(os.path.join(out, "toy", "renders"))
     assert any(n.endswith(".png") for n in renders)
