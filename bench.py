@@ -100,6 +100,9 @@ def main():
         # blend cost is proportional to tile_capacity (fixed-trip chunk
         # loop); pairs beyond it in a tile are truncated back-to-front
         overrides["tile_capacity"] = int(os.environ["BENCH_TILE_CAP"])
+    if "BENCH_RGB10" in os.environ:
+        # packed_v3: 4 payload words (cc|op f16 pair, rgb 10-bit word)
+        overrides["rgb10_payloads"] = bool(int(os.environ["BENCH_RGB10"]))
     if overrides:
         rcfg = _dc.replace(rcfg, **overrides)
 
@@ -122,11 +125,32 @@ def main():
         if cache_dir.strip().lower() in ("0", "false", "no"):
             cache_dir = None
         t0 = time.perf_counter()
-        slab_ctx = dec.make_slab_context(init_pos, cache_dir=cache_dir)
-        jax.block_until_ready(slab_ctx.wzy)
-        slab_build_s = round(time.perf_counter() - t0, 1)
-        print(f"slab context build: {slab_build_s}s "
-              f"(one-time per template)", file=sys.stderr)
+        # the r4 eg3d run died here once with a TPU FailedPrecondition on
+        # a device->host transfer (backend/tunnel unhealthy after the cold
+        # ctx compile): retry once on a fresh attempt, and degrade to the
+        # non-slab path instead of zeroing the benchmark
+        slab_ctx = None
+        for attempt in (1, 2):
+            try:
+                slab_ctx = dec.make_slab_context(init_pos,
+                                                 cache_dir=cache_dir)
+                jax.block_until_ready(slab_ctx.wzy)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"slab context build attempt {attempt} failed "
+                      f"({type(e).__name__}: {e})", file=sys.stderr)
+                slab_ctx = None
+        if slab_ctx is None:
+            print("slab context unavailable — falling back to the "
+                  "brick-table path", file=sys.stderr)
+            import dataclasses as _dcs3
+
+            dec = _dcs3.replace(dec, slab_sampling=False)
+            slab_on = False
+        else:
+            slab_build_s = round(time.perf_counter() - t0, 1)
+            print(f"slab context build: {slab_build_s}s "
+                  f"(one-time per template)", file=sys.stderr)
     # the ~440 MB wzy must reach jit as an ARGUMENT (constant-embedded
     # HLO hangs the tunnel compile helper); statics stay in the closure
     slab_arr = (None if slab_ctx is None else

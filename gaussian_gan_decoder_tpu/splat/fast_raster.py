@@ -220,11 +220,27 @@ def _f16_pack_pair(a, b, scale=CONIC_SCALE):
         (half_bits(a) << 16) | half_bits(b), jnp.float32)
 
 
+RGB10_SCALE = 256.0   # packed_v3 color step 1/256 over [0, 1023/256)
+
+
+def _rgb10_pack(r, g, b):
+    """Three color channels -> one word of 10-bit fixed point each
+    (r high, b low), step 1/RGB10_SCALE. Colors are clamp(SH_C0*c+0.5, 0)
+    — non-negative, almost always < 2; the 1/256 step equals the 8-bit
+    output quantization (quality bound: ~64 dB color-noise floor, far
+    above the 39 dB acceptance — measured in tests/test_fast_raster)."""
+    def q(v):
+        return jnp.clip(jnp.round(v * RGB10_SCALE), 0, 1023).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        (q(r) << 20) | (q(g) << 10) | q(b), jnp.float32)
+
+
 def build_pairs_packed(
     ch: Dict[str, jax.Array],          # project_channels output
     fields,                            # 9 (N,) payload channels (blend ROW order)
     grid_x: int, grid_y: int, tile_size: int,
     static_copies: int = 2, overflow_budget: int = 2 ** 17,
+    rgb10: bool = False,
 ):
     """Packed-payload pair construction: 5 payload words per pair instead
     of 9 f32 channels (sort traffic and replication traffic both shrink):
@@ -239,7 +255,11 @@ def build_pairs_packed(
     blend kernel subtracts its own tile origin from nothing — it uses the
     local pixel iota directly). Packing happens BEFORE replication, so the
     static copies stream 5 channels, not 9, and the overflow gather rows
-    are 10 wide, not 13."""
+    are 10 wide, not 13.
+
+    rgb10=True (packed_v3) narrows to 4 words: word 2 becomes cc|op (f16
+    pair, same *4096 pre-scale) and word 3 one rgb 10-bit fixed-point
+    word (_rgb10_pack); overflow rows are 9 wide."""
     px, py, ca, cb, cc, op, r, g, b = [f.astype(jnp.float32) for f in fields]
     N = px.shape[0]
     T = grid_x * grid_y
@@ -253,8 +273,12 @@ def build_pairs_packed(
     qdepth = jax.lax.bitcast_convert_type(depth_pos, jnp.int32)
 
     w_cacb = _f16_pack_pair(ca, cb)
-    w_rg = _bf16_pack_pair(r, g)
-    w_bop = _bf16_pack_pair(b, op)
+    if rgb10:
+        # 4 payload words: cc rides with opacity (both f16 *4096); rgb in
+        # ONE 10-bit fixed-point word
+        tail_words = [_f16_pack_pair(cc, op), _rgb10_pack(r, g, b)]
+    else:
+        tail_words = [cc, _bf16_pack_pair(r, g), _bf16_pack_pair(b, op)]
 
     # -- static copies --------------------------------------------------------
     rw1 = jnp.maximum(rw, 1)
@@ -273,9 +297,7 @@ def build_pairs_packed(
     qd = jnp.tile(qdepth, (static_copies,))
     f_pxy = jnp.concatenate(pxys)
     f_cacb = jnp.tile(w_cacb, (static_copies,))
-    f_cc = jnp.tile(cc, (static_copies,))
-    f_rg = jnp.tile(w_rg, (static_copies,))
-    f_bop = jnp.tile(w_bop, (static_copies,))
+    f_tail = [jnp.tile(w, (static_copies,)) for w in tail_words]
 
     # -- overflow lane --------------------------------------------------------
     counts_over = jnp.where(vis, jnp.maximum(area - static_copies, 0), 0)
@@ -283,9 +305,9 @@ def build_pairs_packed(
     n_dropped = jnp.maximum(0, over_total - overflow_budget)
     pack = jnp.stack(
         [base.astype(jnp.float32), rw1.astype(jnp.float32),
-         offs.astype(jnp.float32), depth_pos, px, py, w_cacb, cc, w_rg, w_bop],
+         offs.astype(jnp.float32), depth_pos, px, py, w_cacb] + tail_words,
         axis=1,
-    )  # (N, 10)
+    )  # (N, 10) / (N, 9) with rgb10
     rows = jnp.take(pack, ids, axis=0)
     pos = jnp.arange(overflow_budget, dtype=jnp.int32)
     cell = static_copies + (pos - rows[:, 2].astype(jnp.int32))
@@ -302,15 +324,15 @@ def build_pairs_packed(
     f_pxy = jnp.concatenate(
         [f_pxy, _i16_pack_pair(rows[:, 4] - txo, rows[:, 5] - tyo)])
     f_cacb = jnp.concatenate([f_cacb, rows[:, 6]])
-    f_cc = jnp.concatenate([f_cc, rows[:, 7]])
-    f_rg = jnp.concatenate([f_rg, rows[:, 8]])
-    f_bop = jnp.concatenate([f_bop, rows[:, 9]])
-    return tile_key, qd, [f_pxy, f_cacb, f_cc, f_rg, f_bop], n_dropped
+    f_tail = [jnp.concatenate([ft, rows[:, 7 + i]])
+              for i, ft in enumerate(f_tail)]
+    return tile_key, qd, [f_pxy, f_cacb] + f_tail, n_dropped
 
 
 def _build_pairs_any(
     ch, fields, grid_x, grid_y, tile_size,
     static_copies, overflow_budget, bf16_colors, packed_payloads,
+    rgb10=False,
 ):
     """Pair construction shared by the replicated binning
     (bin_pairs_lexsort_ch) and the tile-sharded multi-chip binning
@@ -319,7 +341,7 @@ def _build_pairs_any(
     if packed_payloads:
         tile_key, qd, fields_rep, n_dropped = build_pairs_packed(
             ch, fields, grid_x, grid_y, tile_size, static_copies,
-            overflow_budget)
+            overflow_budget, rgb10=rgb10)
         return tile_key, qd, fields_rep, 8, n_dropped
     tile_key, qd, fields_rep, n_dropped = build_pairs_ch(
         ch, fields, grid_x, grid_y, tile_size, static_copies,
@@ -339,7 +361,7 @@ def bin_pairs_lexsort_ch(
     grid_x: int, grid_y: int, tile_size: int,
     static_copies: int = 4, overflow_budget: int = 2 ** 17,
     bf16_colors: bool = False, packed_payloads: bool = False,
-    fused_sort_key: bool = False,
+    fused_sort_key: bool = False, rgb10: bool = False,
 ):
     """-> (tile_starts (T+2,), sorted_attrs (n_rows, Ptot), n_dropped).
 
@@ -347,11 +369,11 @@ def bin_pairs_lexsort_ch(
     and (b,opacity) into bf16 pairs (7 sort payloads), or 8 with 5 live
     rows when packed_payloads packs everything (build_pairs_packed) — the
     fastest sort (2 keys + 5 payloads; 1 fused uint32 key + 5 with
-    fused_sort_key — see RasterizeConfig)."""
+    fused_sort_key, 4 with rgb10 — see RasterizeConfig)."""
     T = grid_x * grid_y
     tile_key, qd, fields_rep, n_rows, n_dropped = _build_pairs_any(
         ch, fields, grid_x, grid_y, tile_size, static_copies,
-        overflow_budget, bf16_colors, packed_payloads)
+        overflow_budget, bf16_colors, packed_payloads, rgb10=rgb10)
     if packed_payloads:
         if fused_sort_key:
             # tile fits 11 bits (T <= 1024 incl. the T sentinel); keep the
@@ -406,7 +428,8 @@ def _blend_and_assemble(tile_starts, attrs_t, grid_x, grid_y, ts, bg, config,
             config.tile_capacity, interpret,
         )
     else:
-        fmt = ("packed_v2" if config.packed_payloads
+        fmt = ("packed_v3" if config.packed_payloads and config.rgb10_payloads
+               else "packed_v2" if config.packed_payloads
                else "bf16_colors" if config.bf16_colors else "f32")
         # (packed formats are only produced on the non-differentiable path)
         accum, trans = pallas_blend(
@@ -473,7 +496,7 @@ def render_packed(
         ch, fields, grid_x, grid_y, ts,
         config.static_copies, config.overflow_budget,
         bf16_colors=config.bf16_colors, packed_payloads=config.packed_payloads,
-        fused_sort_key=config.fused_sort_key,
+        fused_sort_key=config.fused_sort_key, rgb10=config.rgb10_payloads,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret
@@ -556,6 +579,7 @@ def rasterize_fast(
         bf16_colors=config.bf16_colors and not differentiable,
         packed_payloads=config.packed_payloads and not differentiable,
         fused_sort_key=config.fused_sort_key and not differentiable,
+        rgb10=config.rgb10_payloads and not differentiable,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret,
@@ -602,7 +626,7 @@ def render_rows(
         ch, fields, grid_x, grid_y, ts,
         config.static_copies, config.overflow_budget,
         bf16_colors=config.bf16_colors, packed_payloads=config.packed_payloads,
-        fused_sort_key=config.fused_sort_key,
+        fused_sort_key=config.fused_sort_key, rgb10=config.rgb10_payloads,
     )
     img, alpha_img = _blend_and_assemble(
         tile_starts, attrs_t, grid_x, grid_y, ts, bg, config, interpret

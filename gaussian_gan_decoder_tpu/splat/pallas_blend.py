@@ -96,7 +96,7 @@ def _blend_kernel(
     # stores gaussian centers TILE-LOCAL, so the pixel coords stay local
     # too (no tile origin add — and dx keeps f32-grade precision).
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    if payload_format == "packed_v2":
+    if payload_format in ("packed_v2", "packed_v3"):
         pixx = (p_iota % tile_size).astype(jnp.float32)
         pixy = (p_iota // tile_size).astype(jnp.float32)
     else:
@@ -132,7 +132,24 @@ def _blend_kernel(
 
         f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)  # noqa: E731
         hi_mask = jnp.int32(-65536)            # 0xFFFF0000
-        if payload_format == "packed_v2":
+        if payload_format == "packed_v3":
+            # rows: 0 pxl|pyl int16 fixed-point (tile-local, 1/32 px),
+            # 1 ca|cb f16*4096, 2 cc|op f16*4096|f16, 3 rgb 10-bit fixed
+            w0 = jax.lax.bitcast_convert_type(rows[0:1, :], jnp.int32)
+            gx = (w0 >> 16).astype(jnp.float32) * (1.0 / 32.0)
+            gy = ((w0 << 16) >> 16).astype(jnp.float32) * (1.0 / 32.0)
+            w1 = jax.lax.bitcast_convert_type(rows[1:2, :], jnp.int32)
+            ca = _f16_unpack((w1 >> 16) & 0xFFFF, 12)
+            cb = _f16_unpack(w1 & 0xFFFF, 12)
+            w2 = jax.lax.bitcast_convert_type(rows[2:3, :], jnp.int32)
+            cc = _f16_unpack((w2 >> 16) & 0xFFFF, 12)
+            op = _f16_unpack(w2 & 0xFFFF, 12)
+            w3 = jax.lax.bitcast_convert_type(rows[3:4, :], jnp.int32)
+            r_ = ((w3 >> 20) & 0x3FF).astype(jnp.float32) * (1.0 / 256.0)
+            g_ = ((w3 >> 10) & 0x3FF).astype(jnp.float32) * (1.0 / 256.0)
+            b_ = (w3 & 0x3FF).astype(jnp.float32) * (1.0 / 256.0)
+            col = jnp.concatenate([r_, g_, b_], axis=0)
+        elif payload_format == "packed_v2":
             # rows: 0 pxl|pyl int16 fixed-point (tile-local, 1/32 px),
             # 1 ca|cb f16*4096, 2 cc f32, 3 r|g bf16, 4 b|op bf16
             w0 = jax.lax.bitcast_convert_type(rows[0:1, :], jnp.int32)
@@ -249,8 +266,9 @@ def pallas_blend(
 ):
     """-> (accum (T, 256, 3), trans (T, 256)).
 
-    payload_format: 'f32' | 'bf16_colors' | 'packed_v2' (fast_raster row
-    layouts); packed_colors=True is a legacy alias for 'bf16_colors'."""
+    payload_format: 'f32' | 'bf16_colors' | 'packed_v2' | 'packed_v3'
+    (fast_raster row layouts); packed_colors=True is a legacy alias for
+    'bf16_colors'."""
     if payload_format is None:
         payload_format = "bf16_colors" if packed_colors else "f32"
     if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret

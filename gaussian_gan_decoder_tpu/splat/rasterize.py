@@ -61,6 +61,12 @@ class RasterizeConfig:
     # (tile, depth) pair — 6 sort operands instead of 7. Depth resolution
     # drops to 2^-12 relative; near-coincident gaussians may swap blend
     # order (the CUDA key keeps all 32 depth bits in its 64-bit key).
+    rgb10_payloads: bool = False   # fast path (with packed_payloads):
+    # narrow the 5 payload words to 4 — cc rides as an f16 pair with
+    # opacity, and rgb packs into ONE 10-bit-per-channel fixed-point word
+    # (step 1/256 over [0, 4): equal to the 8-bit output quantization).
+    # Sorts move each operand at streaming bandwidth, so one fewer word
+    # trims sort + replication + overflow-gather traffic ~20%.
 
 
 def _tile_rects(pix_xy, radius, grid_x, grid_y, tile_size):

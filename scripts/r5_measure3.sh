@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-5 measurement batch 3: frame-path sweep — r5 anchor, blend
+# tile-capacity trim, overflow trim, slab warm-start honest stamps, and
+# the EG3D bilinear-slab retry (r4 crash diagnosis).
+set -u
+PY=/opt/venv/bin/python
+OUT=${1:-/tmp/r5_measurements3.txt}
+echo "=== r5 batch 3 START $(date -u) pid=$$ ===" >> "$OUT"
+cd "$(dirname "$0")/.."
+log() { echo "=== $* === $(date -u +%H:%M:%S)" | tee -a "$OUT"; }
+
+log "bench r5 anchor (defaults) + verbose slab stamps"
+GGD_SLAB_VERBOSE=1 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
+log "bench tile_capacity=768"
+BENCH_TILE_CAP=768 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
+log "bench tile_capacity=640"
+BENCH_TILE_CAP=640 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
+log "bench overflow=2^16 (watch n_dropped)"
+BENCH_OVERFLOW=65536 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
+log "bench eg3d bilinear slab (r4 crash retry; fallback now non-fatal)"
+GGD_SLAB_VERBOSE=1 BENCH_VARIANT=eg3d timeout 3600 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
+log "done $(date -u)"

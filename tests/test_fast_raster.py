@@ -216,6 +216,76 @@ def test_packed_v2_payloads_close():
     assert p > 45.0, p
 
 
+def test_packed_v3_rgb10_close():
+    """packed_v3 (4 payload words: cc|op f16 pair, rgb in one 10-bit
+    fixed-point word) stays within the rgb quantization budget of the f32
+    path — including overflow-lane pairs. The 1/256 color step bounds the
+    deviation near the 8-bit output quantization, far above the 39 dB
+    acceptance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.splat.fast_raster import rasterize_fast
+    from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig
+
+    cp, c2w = default_camera_params()
+    cam = make_camera(64, jnp.asarray(0.227), c2w)
+    N = 500
+    k = jax.random.PRNGKey(0)
+    xyz = (jax.random.uniform(k, (N, 3)) - 0.5) * 0.4
+    scale = jnp.exp(-jax.nn.softplus(
+        jax.random.normal(jax.random.fold_in(k, 1), (N, 3)) + 5.0) - 1.0)
+    scale = scale.at[:8].mul(20.0)   # exercise the overflow lane
+    rot = jax.random.normal(jax.random.fold_in(k, 2), (N, 4))
+    opa = jax.nn.sigmoid(jax.random.normal(jax.random.fold_in(k, 3), (N,)))
+    col = jnp.maximum(
+        jax.random.normal(jax.random.fold_in(k, 4), (N, 3)) * 0.3 + 0.5, 0.0)
+    kw = dict(tile_size=16, max_pairs=2 ** 14, tile_capacity=256,
+              chunk=32, static_copies=2, overflow_budget=2 ** 12)
+    bg = jnp.asarray([0.5, 0.5, 0.5])
+    args = (cam, xyz, scale, rot, opa)
+    a = rasterize_fast(*args, colors_precomp=col, bg=bg,
+                       config=RasterizeConfig(**kw), interpret=True)
+    b = rasterize_fast(*args, colors_precomp=col, bg=bg,
+                       config=RasterizeConfig(**kw, packed_payloads=True,
+                                              rgb10_payloads=True,
+                                              fused_sort_key=True),
+                       interpret=True)
+    assert int(a["n_dropped"]) == 0 and int(b["n_dropped"]) == 0
+    ia, ib = np.asarray(a["render"]), np.asarray(b["render"])
+    mse = ((ia - ib) ** 2).mean()
+    p = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert p > 44.0, p
+
+
+def test_rgb10_pack_roundtrip():
+    """rgb10 pack -> kernel-side integer unpack round-trips to the 1/256
+    step across [0, 1023/256], clamping above."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.splat.fast_raster import (
+        RGB10_SCALE, _rgb10_pack)
+
+    r = np.linspace(0.0, 4.2, 257).astype(np.float32)
+    g = r[::-1].copy()
+    b = (r * 0.37) % 3.9
+    w = jax.lax.bitcast_convert_type(
+        _rgb10_pack(jnp.asarray(r), jnp.asarray(g), jnp.asarray(b)),
+        jnp.int32)
+    ur = np.asarray((w >> 20) & 0x3FF) / RGB10_SCALE
+    ug = np.asarray((w >> 10) & 0x3FF) / RGB10_SCALE
+    ub = np.asarray(w & 0x3FF) / RGB10_SCALE
+    top = 1023 / RGB10_SCALE
+    for got, want in ((ur, r), (ug, g), (ub, b)):
+        want_c = np.minimum(want, top)
+        assert np.abs(got - want_c).max() <= 0.5 / RGB10_SCALE + 1e-6
+
+
 def test_f16_pack_roundtrip():
     """Manual f16 pack (XLA side) -> integer unpack (kernel side) round-
     trips to f16 precision across the conic magnitude range."""
