@@ -21,6 +21,12 @@ BENCH_TILE_CAP=640 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 log "bench overflow=2^16 (watch n_dropped)"
 BENCH_OVERFLOW=65536 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 
+log "bench rgb10 payloads (packed_v3: 4 sort words)"
+BENCH_RGB10=1 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
+log "bench rgb10 + tile_capacity=768 (combined best candidate)"
+BENCH_RGB10=1 BENCH_TILE_CAP=768 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
 log "bench eg3d bilinear slab (r4 crash retry; fallback now non-fatal)"
 GGD_SLAB_VERBOSE=1 BENCH_VARIANT=eg3d timeout 3600 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 

@@ -29,4 +29,9 @@ DS_STAGES=1 DS_MT2=1 DS_SIGMA_SEP=1 DS_PALLAS_HEADS=1 DS_BF16_SAMPLING=1 \
   DS_INT8_PROBE=1 DS_PALLAS_BUILD=select \
   timeout 3600 $PY scripts/bench_distill_step.py 2>>"$OUT" | tee -a "$OUT"
 
+log "frozen-render internal split (DS_STAGES=2, all knobs — r4 batch 6 lost)"
+DS_STAGES=2 DS_MT2=1 DS_SIGMA_SEP=1 DS_PALLAS_HEADS=1 DS_BF16_SAMPLING=1 \
+  DS_INT8_PROBE=1 DS_PALLAS_BUILD=select \
+  timeout 3600 $PY scripts/bench_distill_step.py 2>>"$OUT" | tee -a "$OUT"
+
 log "done $(date -u)"
