@@ -440,21 +440,20 @@ class GaussianDecoder:
                   f"padded ({pb.n_blocks} blocks for {pb.n_points} points) — "
                   "template density too low for the slab windows; the "
                   "brick-table path is likely faster", file=sys.stderr)
-        wzy, axs = build_slab_weights(
+        build_fn = build_slab_weights(
             pb, g.renderer.plane_axes, g.rk["box_warp"], sizes, idx16=idx16,
-            dzw=dzw, bilinear=bilinear)
-        t0 = _stamp("device weight build (compile + exec + transfer)", t0,
-                    wzy, axs)
+            dzw=dzw, bilinear=bilinear, as_fn=True)
         positions = jnp.asarray(pb.positions)
         chain_spec = _CHAINS[self.decoder_type]
         dtype = jnp.bfloat16 if self.heads_bf16 else jnp.float32
 
-        # one jit for the tail (quant + cond + staging): eager op-by-op
-        # dispatch on the ~430 MB wzy / (Mpad, 128) staging measurably
-        # drags the warm start through per-op tunnel round-trips
+        # ONE jit for the whole device side (weight build + int8 quant +
+        # cond + staging): each separate jit costs a tunnel compile
+        # (minutes on a cold cache), and eager op-by-op dispatch on the
+        # ~200-430 MB wzy drags the warm start through per-op round trips
         @jax.jit
-        def _tail(wzy, positions, valid):
-            w = wzy
+        def _device_build(origins, idx16_d, positions, valid):
+            w, axs = build_fn(origins, idx16_d, positions)
             if self.slab_int8_weights:
                 w = jnp.clip(jnp.round(w.astype(jnp.float32) * 127.0),
                              -127, 127).astype(jnp.int8)
@@ -464,10 +463,13 @@ class GaussianDecoder:
                 jnp.zeros((pb.m_padded, 32), jnp.float32), cond, positions,
                 chain_spec, pb.block, dtype)
             aux = aux.at[:, VALID_COL].set(valid.astype(dtype))
-            return w, aux
+            return w, axs, aux
 
-        wzy, aux = _tail(wzy, positions, jnp.asarray(pb.valid))
-        t0 = _stamp("quant + staging tail", t0, wzy, aux)
+        wzy, axs, aux = _device_build(
+            jnp.asarray(pb.origins), jnp.asarray(idx16), positions,
+            jnp.asarray(pb.valid))
+        t0 = _stamp("device build (ONE jit: weights + quant + staging)", t0,
+                    wzy, axs, aux)
         # inv_slot[original point index] = packed slot index: unpermutes
         # slab-path outputs back to template order (rows[:, inv_slot])
         inv_slot = np.zeros(pb.n_points, np.int32)

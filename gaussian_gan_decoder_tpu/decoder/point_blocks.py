@@ -151,7 +151,7 @@ def compact_indices(pb: PointBlocks, plane_axes, box_warp, sizes,
 
 def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
                        sizes=None, idx16=None, dzw: int = DZW,
-                       bilinear: bool = False):
+                       bilinear: bool = False, as_fn: bool = False):
     """On-device build of the static per-point interpolation operands the
     slab kernel consumes (built once per template; a host-numpy build +
     tunnel transfer of the ~440 MB wzy measured minutes):
@@ -182,6 +182,7 @@ def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
     assert not bilinear or dzw == 1, (bilinear, dzw)
 
     if plane_axes is None:
+        assert not as_fn, "as_fn requires the compact-idx16 path"
         # legacy full-idxw path (tests / callers without the projection)
         @jax.jit
         def build(origins, xw):
@@ -221,7 +222,6 @@ def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
     import numpy as np
     inv = np.linalg.inv(plane_axes).astype(np.float32)
 
-    @jax.jit
     def build(origins, idx16, positions):
         blk_of = jnp.repeat(jnp.arange(nb), blk)
         r = jnp.arange(kr)
@@ -270,8 +270,13 @@ def build_slab_weights(pb: PointBlocks, plane_axes=None, box_warp=None,
         axs = jnp.pad(axs, ((0, 0), (0, 64 - 3 * ex)))
         return jnp.stack(wzys), axs
 
-    return build(jnp.asarray(pb.origins), jnp.asarray(idx16),
-                 jnp.asarray(pb.positions))
+    if as_fn:
+        # traceable builder for callers composing a LARGER jit (e.g.
+        # make_slab_context fuses build + quant/staging into ONE program:
+        # each tunnel compile costs minutes on a cold cache)
+        return build
+    return jax.jit(build)(jnp.asarray(pb.origins), jnp.asarray(idx16),
+                          jnp.asarray(pb.positions))
 
 
 def build_point_blocks(

@@ -57,6 +57,13 @@ def main():
         merged.update(sa)
         return merged
     rcfg = flagship_raster_config()
+    if os.environ.get("PROF_RGB10"):
+        import dataclasses
+        rcfg = dataclasses.replace(rcfg, rgb10_payloads=True)
+    if os.environ.get("PROF_TILE_CAP"):
+        import dataclasses
+        rcfg = dataclasses.replace(
+            rcfg, tile_capacity=int(os.environ["PROF_TILE_CAP"]))
     cam = make_camera(512, jnp.asarray(0.227), cam2world)
     ts = rcfg.tile_size
     gx = gy = 512 // ts
@@ -250,7 +257,8 @@ def main():
         tile_starts, attrs_t, nd = bin_pairs_lexsort_ch(
             ch, fields, gx, gy, ts, rcfg.static_copies, rcfg.overflow_budget,
             bf16_colors=rcfg.bf16_colors,
-            packed_payloads=rcfg.packed_payloads)
+            packed_payloads=rcfg.packed_payloads,
+            fused_sort_key=rcfg.fused_sort_key, rgb10=rcfg.rgb10_payloads)
         if stage == "bin":
             return jnp.sum(tile_starts[:8].astype(jnp.float32)) + attrs_t[0, 0]
         if stage == "bin_all":
@@ -262,7 +270,8 @@ def main():
         slack = rcfg.tile_capacity + CHUNK
         attrs_t = jnp.concatenate(
             [attrs_t, jnp.zeros((attrs_t.shape[0], slack), jnp.float32)], axis=1)
-        fmt = ("packed_v2" if rcfg.packed_payloads
+        fmt = ("packed_v3" if rcfg.packed_payloads and rcfg.rgb10_payloads
+               else "packed_v2" if rcfg.packed_payloads
                else "bf16_colors" if rcfg.bf16_colors else "f32")
         accum, trans = pallas_blend(tile_starts, attrs_t, gx, gy, ts,
                                     max_k=rcfg.tile_capacity,

@@ -9,6 +9,11 @@ echo "=== r5 batch 3 START $(date -u) pid=$$ ===" >> "$OUT"
 cd "$(dirname "$0")/.."
 log() { echo "=== $* === $(date -u +%H:%M:%S)" | tee -a "$OUT"; }
 
+log "PSNR error-source ablate (batch-2 retry if it died on the tunnel)"
+if ! grep -q psnr_ablate /tmp/r5_measurements2.txt 2>/dev/null; then
+  PSNR_ABLATE=1 timeout 5400 $PY scripts/psnr_slab.py 2>>"$OUT" | tee -a "$OUT"
+fi
+
 log "bench r5 anchor (defaults) + verbose slab stamps"
 GGD_SLAB_VERBOSE=1 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 
@@ -29,5 +34,11 @@ BENCH_RGB10=1 BENCH_TILE_CAP=768 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$
 
 log "bench eg3d bilinear slab (r4 crash retry; fallback now non-fatal)"
 GGD_SLAB_VERBOSE=1 BENCH_VARIANT=eg3d timeout 3600 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
+log "frame ablate r5 (slab, fused key, deployed binning)"
+PROF_SLAB=1 timeout 3600 $PY scripts/profile_ablate.py 2>>"$OUT" | tee -a "$OUT"
+
+log "frame ablate r5 + rgb10"
+PROF_SLAB=1 PROF_RGB10=1 timeout 3600 $PY scripts/profile_ablate.py 2>>"$OUT" | tee -a "$OUT"
 
 log "done $(date -u)"
