@@ -103,6 +103,10 @@ def main():
     if "BENCH_RGB10" in os.environ:
         # packed_v3: 4 payload words (cc|op f16 pair, rgb 10-bit word)
         overrides["rgb10_payloads"] = bool(int(os.environ["BENCH_RGB10"]))
+    if "BENCH_MXU_POWER" in os.environ:
+        # quadratic-basis MXU falloff in the blend kernel
+        overrides["blend_mxu_power"] = bool(
+            int(os.environ["BENCH_MXU_POWER"]))
     if overrides:
         rcfg = _dc.replace(rcfg, **overrides)
 

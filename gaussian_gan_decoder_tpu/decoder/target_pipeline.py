@@ -50,10 +50,12 @@ class TargetSamplerConfig:
     num_points: int = 500_000
     mc_level: float = 10.0
     face_capacity: int = 2 ** 20
-    mt_two_stage: bool = False  # two-stage crossed-cube compaction in the
+    mt_two_stage: bool = True  # two-stage crossed-cube compaction in the
     # marching-tetrahedra pack (surface.py): ~7x smaller compaction sorts
-    # + no 2-D case gather. Default off until hardware-measured
-    # (PERFORMANCE.md protocol).
+    # + no 2-D case gather. Default ON per the PERFORMANCE.md protocol:
+    # measured tetra stage 158.3 -> 92.3 ms, target pipeline 464.0 ->
+    # 376.7 ms (r4 all-knobs ablate, /tmp/r4_measurements.txt); face-set
+    # parity pinned by test_marching_tetrahedra_two_stage_parity.
     sigma_separable: bool = False  # separable lattice-resampling sigma
     # grid (surface.sigma_grid_separable): dense MXU interp matmuls
     # instead of ~3*R^3 table-row gathers. Default off until measured.

@@ -436,6 +436,7 @@ def _blend_and_assemble(tile_starts, attrs_t, grid_x, grid_y, ts, bg, config,
             tile_starts, attrs_t, grid_x, grid_y, ts,
             max_k=config.tile_capacity, interpret=interpret,
             payload_format=fmt,
+            mxu_power=config.blend_mxu_power and config.packed_payloads,
         )
     H, W = grid_y * ts, grid_x * ts
     img = accum + trans[:, :, None] * bg[None, None, :]

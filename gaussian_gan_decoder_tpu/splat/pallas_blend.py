@@ -76,6 +76,7 @@ def _blend_kernel(
     payload_format: str,
     save_entries: bool = False,
     maxc: int = 0,
+    mxu_power: bool = False,
 ):
     if save_entries:
         ent_ref, buf, sem = rest
@@ -104,6 +105,20 @@ def _blend_kernel(
         ty = (t // grid_x) * tile_size
         pixx = (tx + p_iota % tile_size).astype(jnp.float32)
         pixy = (ty + p_iota // tile_size).astype(jnp.float32)
+    assert not (mxu_power and payload_format not in ("packed_v2",
+                                                     "packed_v3")), \
+        "mxu_power needs TILE-LOCAL coords (quadratic-basis cancellation " \
+        "at global 512-px coords costs ~4 digits of power precision)"
+    if mxu_power:
+        # loop-invariant quadratic pixel basis: power is a degree-2
+        # polynomial in (px, py), so the (P, CHUNK) falloff becomes ONE
+        # (P, 6) @ (6, CHUNK) MXU dot per chunk instead of ~8 full-size
+        # VPU passes (dx/dy materialization + 6 multiply-adds); the 6
+        # per-pair coefficients are (1, CHUNK) lane rows — 128x less
+        # VPU work than the (P, CHUNK) forms they replace
+        basis = jnp.concatenate(
+            [jnp.ones_like(pixx), pixx, pixy,
+             pixx * pixx, pixx * pixy, pixy * pixy], axis=1)  # (P, 6)
 
     def dma(slot, chunk_idx):
         return pltpu.make_async_copy(
@@ -188,9 +203,24 @@ def _blend_kernel(
                 op = rows[5:6, :]
                 col = rows[6:9, :]             # (3, CHUNK)
 
-        dx = pixx - gx                         # (P, CHUNK) — sign-symmetric
-        dy = pixy - gy
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        if mxu_power:
+            # power = B @ C with per-pair coefficient rows (1, CHUNK):
+            #   power = c0 + c1*px + c2*py + c3*px^2 + c4*px*py + c5*py^2
+            c3 = -0.5 * ca
+            c4 = -cb
+            c5 = -0.5 * cc
+            c1 = ca * gx + cb * gy
+            c2 = cc * gy + cb * gx
+            c0 = -0.5 * (ca * gx * gx + cc * gy * gy) - cb * gx * gy
+            coeffs = jnp.concatenate([c0, c1, c2, c3, c4, c5], axis=0)
+            power = jax.lax.dot_general(
+                basis, coeffs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (P, CHUNK)
+        else:
+            dx = pixx - gx                     # (P, CHUNK) — sign-symmetric
+            dy = pixy - gy
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         alpha = jnp.minimum(0.99, op * jnp.exp(power))
         alpha = jnp.where(
             (power > 0.0) | (alpha < (1.0 / 255.0)) | (~valid), 0.0, alpha
@@ -263,12 +293,14 @@ def pallas_blend(
     interpret: bool | None = None,
     packed_colors: bool = False,
     payload_format: str | None = None,
+    mxu_power: bool = False,
 ):
     """-> (accum (T, 256, 3), trans (T, 256)).
 
     payload_format: 'f32' | 'bf16_colors' | 'packed_v2' | 'packed_v3'
     (fast_raster row layouts); packed_colors=True is a legacy alias for
-    'bf16_colors'."""
+    'bf16_colors'. mxu_power (packed formats only) computes the Gaussian
+    falloff as one quadratic-basis MXU dot per chunk."""
     if payload_format is None:
         payload_format = "bf16_colors" if packed_colors else "f32"
     if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret
@@ -279,7 +311,7 @@ def pallas_blend(
     out = pl.pallas_call(
         functools.partial(
             _blend_kernel, grid_x=grid_x, tile_size=tile_size, max_k=max_k,
-            payload_format=payload_format,
+            payload_format=payload_format, mxu_power=mxu_power,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -61,6 +61,11 @@ class RasterizeConfig:
     # (tile, depth) pair — 6 sort operands instead of 7. Depth resolution
     # drops to 2^-12 relative; near-coincident gaussians may swap blend
     # order (the CUDA key keeps all 32 depth bits in its 64-bit key).
+    blend_mxu_power: bool = False  # fast path (with packed_payloads):
+    # compute the per-pair Gaussian falloff power as ONE quadratic-basis
+    # (P, 6) @ (6, CHUNK) MXU dot per blend chunk instead of ~8 (P, CHUNK)
+    # VPU passes. Needs tile-local coords (packed formats) — at global
+    # 512-px coords the basis cancellation costs ~4 digits of precision.
     rgb10_payloads: bool = False   # fast path (with packed_payloads):
     # narrow the 5 payload words to 4 — cc rides as an f16 pair with
     # opacity, and rgb packs into ONE 10-bit-per-channel fixed-point word

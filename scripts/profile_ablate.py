@@ -64,6 +64,9 @@ def main():
         import dataclasses
         rcfg = dataclasses.replace(
             rcfg, tile_capacity=int(os.environ["PROF_TILE_CAP"]))
+    if os.environ.get("PROF_MXU_POWER"):
+        import dataclasses
+        rcfg = dataclasses.replace(rcfg, blend_mxu_power=True)
     cam = make_camera(512, jnp.asarray(0.227), cam2world)
     ts = rcfg.tile_size
     gx = gy = 512 // ts
@@ -275,7 +278,8 @@ def main():
                else "bf16_colors" if rcfg.bf16_colors else "f32")
         accum, trans = pallas_blend(tile_starts, attrs_t, gx, gy, ts,
                                     max_k=rcfg.tile_capacity,
-                                    payload_format=fmt)
+                                    payload_format=fmt,
+                                    mxu_power=rcfg.blend_mxu_power)
         img = accum + trans[:, :, None] * bg[None, None, :]
         return jnp.sum(img[:4])
 

@@ -32,6 +32,12 @@ BENCH_RGB10=1 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 log "bench rgb10 + tile_capacity=768 (combined best candidate)"
 BENCH_RGB10=1 BENCH_TILE_CAP=768 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 
+log "bench mxu_power (quadratic-basis MXU falloff in the blend)"
+BENCH_MXU_POWER=1 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
+log "bench rgb10 + mxu_power + tile_cap 768 (full stack)"
+BENCH_RGB10=1 BENCH_MXU_POWER=1 BENCH_TILE_CAP=768 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
+
 log "bench eg3d bilinear slab (r4 crash retry; fallback now non-fatal)"
 GGD_SLAB_VERBOSE=1 BENCH_VARIANT=eg3d timeout 3600 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 

@@ -261,6 +261,47 @@ def test_packed_v3_rgb10_close():
     assert p > 44.0, p
 
 
+def test_blend_mxu_power_close():
+    """blend_mxu_power (quadratic-basis MXU falloff) matches the direct
+    dx/dy VPU form to f32 rounding on the packed_v2 path — tile-local
+    coords keep the basis cancellation benign."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussian_gan_decoder_tpu.flagship import default_camera_params
+    from gaussian_gan_decoder_tpu.gaussians.cameras import make_camera
+    from gaussian_gan_decoder_tpu.splat.fast_raster import rasterize_fast
+    from gaussian_gan_decoder_tpu.splat.rasterize import RasterizeConfig
+
+    cp, c2w = default_camera_params()
+    cam = make_camera(64, jnp.asarray(0.227), c2w)
+    N = 500
+    k = jax.random.PRNGKey(0)
+    xyz = (jax.random.uniform(k, (N, 3)) - 0.5) * 0.4
+    scale = jnp.exp(-jax.nn.softplus(
+        jax.random.normal(jax.random.fold_in(k, 1), (N, 3)) + 5.0) - 1.0)
+    scale = scale.at[:8].mul(20.0)   # overflow-lane coverage
+    rot = jax.random.normal(jax.random.fold_in(k, 2), (N, 4))
+    opa = jax.nn.sigmoid(jax.random.normal(jax.random.fold_in(k, 3), (N,)))
+    col = jnp.maximum(
+        jax.random.normal(jax.random.fold_in(k, 4), (N, 3)) * 0.3 + 0.5, 0.0)
+    kw = dict(tile_size=16, max_pairs=2 ** 14, tile_capacity=256,
+              chunk=32, static_copies=2, overflow_budget=2 ** 12,
+              packed_payloads=True, fused_sort_key=True)
+    bg = jnp.asarray([0.5, 0.5, 0.5])
+    args = (cam, xyz, scale, rot, opa)
+    a = rasterize_fast(*args, colors_precomp=col, bg=bg,
+                       config=RasterizeConfig(**kw), interpret=True)
+    b = rasterize_fast(*args, colors_precomp=col, bg=bg,
+                       config=RasterizeConfig(**kw, blend_mxu_power=True),
+                       interpret=True)
+    ia, ib = np.asarray(a["render"]), np.asarray(b["render"])
+    mse = ((ia - ib) ** 2).mean()
+    p = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert p > 60.0, p
+
+
 def test_rgb10_pack_roundtrip():
     """rgb10 pack -> kernel-side integer unpack round-trips to the 1/256
     step across [0, 1023/256], clamping above."""
