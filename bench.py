@@ -120,6 +120,9 @@ def main():
         # its 1.8e-3 approx error sits under the int8 features' 2^-7 floor
         dec = _dcs2.replace(dec, slab_sampling=True,
                             gelu=os.environ.get("BENCH_GELU", "poly6"),
+                            # BENCH_HEADS_F32=1: f32 matmuls in the fused
+                            # chain (quality-ladder fps cost probe)
+                            heads_bf16=not os.environ.get("BENCH_HEADS_F32"),
                             slab_clip_q=float(
                                 os.environ.get("BENCH_SLAB_CLIPQ", "0")))
         # host-pack disk cache (warm start skips the greedy pack; the jit

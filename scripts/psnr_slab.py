@@ -70,7 +70,9 @@ def main():
 
     gen = flagship_generator()
     dec_fast = dataclasses.replace(
-        flagship_decoder(gen=gen), slab_sampling=True, gelu="poly6",
+        flagship_decoder(gen=gen), slab_sampling=True,
+        gelu=os.environ.get("PSNR_GELU", "poly6"),
+        heads_bf16=not os.environ.get("PSNR_HEADS_F32"),
         slab_clip_q=float(os.environ.get("PSNR_CLIPQ", "0")))
     # oracle: every approximation off (f32 sampling, exact GELU, XLA heads)
     dec_ref = dataclasses.replace(
