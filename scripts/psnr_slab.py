@@ -87,8 +87,18 @@ def main():
     init_pos = (jax.random.uniform(jax.random.PRNGKey(2), (n_points, 3)) - 0.5) * 0.4
     fov = jnp.asarray(0.227)
     rcfg = flagship_raster_config()
-    rcfg_ref = dataclasses.replace(rcfg, packed_payloads=False,
-                                   bf16_colors=False, fused_sort_key=False)
+    # fast-raster sweep knobs under test ride the FAST config only — the
+    # oracle keeps the untruncated reference settings
+    if os.environ.get("PSNR_TILE_CAP"):
+        rcfg = dataclasses.replace(
+            rcfg, tile_capacity=int(os.environ["PSNR_TILE_CAP"]))
+    if os.environ.get("PSNR_RGB10"):
+        rcfg = dataclasses.replace(rcfg, rgb10_payloads=True)
+    if os.environ.get("PSNR_MXU_POWER"):
+        rcfg = dataclasses.replace(rcfg, blend_mxu_power=True)
+    rcfg_ref = dataclasses.replace(
+        flagship_raster_config(), packed_payloads=False,
+        bf16_colors=False, fused_sort_key=False)
     zs = jax.random.normal(jax.random.PRNGKey(3), (n_latents, 1, 512))
     cams = _camera_set(n_cams)
 

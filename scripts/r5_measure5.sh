@@ -21,6 +21,14 @@ log "PSNR with both (deg-9 GELU + f32 heads)"
 PSNR_GELU=poly PSNR_HEADS_F32=1 PSNR_LATENTS=2 PSNR_CAMERAS=2 \
   timeout 5400 $PY scripts/psnr_slab.py 2>>"$OUT" | tee -a "$OUT"
 
+log "PSNR gate: tile_cap 768 + rgb10 + mxu_power (raster-isolated row is the acceptance)"
+PSNR_TILE_CAP=768 PSNR_RGB10=1 PSNR_MXU_POWER=1 PSNR_LATENTS=2 PSNR_CAMERAS=2 \
+  timeout 5400 $PY scripts/psnr_slab.py 2>>"$OUT" | tee -a "$OUT"
+
+log "PSNR gate: tile_cap 640 (deeper trim)"
+PSNR_TILE_CAP=640 PSNR_LATENTS=2 PSNR_CAMERAS=2 \
+  timeout 5400 $PY scripts/psnr_slab.py 2>>"$OUT" | tee -a "$OUT"
+
 log "fps cost: deg-9 GELU"
 BENCH_GELU=poly timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 
