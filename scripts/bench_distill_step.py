@@ -12,7 +12,7 @@ import jax, jax.numpy as jnp
 # so knob changes never read stale binaries. DS_NO_CACHE=1 disables.
 if not os.environ.get("DS_NO_CACHE"):
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("DS_CACHE_DIR", "/tmp/jax_cache_distill"))
+                      os.environ.get("DS_CACHE_DIR", "/root/.cache/ggd/jax_cache_distill"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from gaussian_gan_decoder_tpu.decoder.target_pipeline import TargetSamplerConfig

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 # cost minutes per fresh stage program)
 if not os.environ.get("PROF_NO_CACHE"):
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("PROF_CACHE_DIR", "/tmp/jax_cache_ablate"))
+                      os.environ.get("PROF_CACHE_DIR", "/root/.cache/ggd/jax_cache_ablate"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from gaussian_gan_decoder_tpu.flagship import (
@@ -42,7 +42,7 @@ def main():
     cp, cam2world = default_camera_params()
     init_pos = (jax.random.uniform(jax.random.PRNGKey(2), (500_000, 3)) - 0.5) * 0.4
     slab_ctx = (dec.make_slab_context(init_pos,
-                                      cache_dir="/tmp/slab_ctx_cache")
+                                      cache_dir="/root/.cache/ggd/slab_ctx_cache")
                 if dec.slab_sampling else None)
     # the ~440 MB wzy must be a jit ARGUMENT (constant-embedded HLO hangs
     # the tunnel compile helper)

@@ -26,7 +26,7 @@ import numpy as np
 if os.environ.get("PSNR_CPU"):
     jax.config.update("jax_platforms", "cpu")
 if not os.environ.get("PSNR_NO_CACHE"):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_psnr")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/ggd/jax_cache_psnr")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
@@ -159,7 +159,7 @@ def main():
         print(json.dumps({"psnr_ablate_vs_oracle_db": out}))
         return
 
-    ctx = dec_fast.make_slab_context(init_pos, cache_dir="/tmp/slab_ctx_cache")
+    ctx = dec_fast.make_slab_context(init_pos, cache_dir="/root/.cache/ggd/slab_ctx_cache")
     slab_args = {k: ctx[k] for k in ("origins", "wzy", "axs", "aux")}
     run_slab = make_run("slab", dec_fast, "pallas", rcfg, slab=slab_args)
     run_mid = make_run("pallas non-slab", dec_mid, "pallas", rcfg)

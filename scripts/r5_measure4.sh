@@ -35,6 +35,3 @@ DS_STAGES=2 DS_MT2=1 DS_SIGMA_SEP=1 DS_PALLAS_HEADS=1 DS_BF16_SAMPLING=1 \
   timeout 3600 $PY scripts/bench_distill_step.py 2>>"$OUT" | tee -a "$OUT"
 
 log "done $(date -u)"
-
-# chain the quality buy-back ladder (batch 5) while the tunnel is ours
-bash "$(dirname "$0")/r5_measure5.sh" /tmp/r5_measurements5.txt
