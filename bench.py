@@ -27,6 +27,12 @@ import jax.numpy as jnp
 # timing studies). Rooted under /root/.cache (NOT /tmp): the host VM
 # reboots between driver sessions and a wiped cache re-pays the cold
 # slab build (~90 s of tunnel compile) on the driver's own bench run.
+# BENCH_CPU=1: plumbing smoke tests without touching the (possibly busy)
+# TPU — the axon sitecustomize pins the backend, so JAX_PLATFORMS env
+# alone does not work; the config update after import does
+if os.environ.get("BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 if not os.environ.get("BENCH_NO_CACHE"):
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("BENCH_CACHE_DIR",
@@ -112,6 +118,7 @@ def main():
             int(os.environ["BENCH_MXU_POWER"]))
     if overrides:
         rcfg = _dc.replace(rcfg, **overrides)
+    rcfg_base = rcfg  # sweep-mode rows derive from the post-env config
 
     # slab-gather decode: Morton-pack the static template once, decode
     # each frame with the slab kernel (no brick table, no HBM row gather)
@@ -140,11 +147,26 @@ def main():
         # ctx compile): retry once on a fresh attempt, and degrade to the
         # non-slab path instead of zeroing the benchmark
         slab_ctx = None
+        verbose_slab = bool(os.environ.get("GGD_SLAB_VERBOSE"))
         for attempt in (1, 2):
             try:
+                # outer stamps bracket the INTERNAL ones (heads.py
+                # _stamp): the r5 stage-B warm run showed host pack 0.0 s
+                # + device build 2.0 s against a 368 s wall — these pin
+                # whether the gap is inside the call or in the final
+                # block_until_ready (tunnel stall attribution)
+                t_call = time.perf_counter()
                 slab_ctx = dec.make_slab_context(init_pos,
                                                  cache_dir=cache_dir)
+                if verbose_slab:
+                    print(f"slab outer: make_slab_context returned "
+                          f"{time.perf_counter() - t_call:.1f}s",
+                          file=sys.stderr)
                 jax.block_until_ready(slab_ctx.wzy)
+                if verbose_slab:
+                    print(f"slab outer: wzy ready "
+                          f"{time.perf_counter() - t_call:.1f}s",
+                          file=sys.stderr)
                 break
             except Exception as e:  # noqa: BLE001
                 print(f"slab context build attempt {attempt} failed "
@@ -175,17 +197,9 @@ def main():
         merged.update(sa)
         return merged
 
-    def frame(params, z, sa=None):
-        img, _ = decode_and_render(
-            dec, params, z, cp, cam2world, init_pos, fov,
-            image_size=image_size, raster_cfg=rcfg, backend=backend,
-            slab_ctx=_ctx(sa),
-        )
-        return jnp.sum(img)  # scalar checksum forces full execution
-
     zs = jax.random.normal(jax.random.PRNGKey(3), (iters, 1, 512))
 
-    def make_stream(fb):
+    def make_stream(fb, rcfg_s):
         if backend == "pallas" and fb > 1 and iters % fb == 0:
             from gaussian_gan_decoder_tpu.flagship import (
                 decode_and_render_stream)
@@ -196,8 +210,8 @@ def main():
                 # (memory) — still iters distinct frames
                 imgs = decode_and_render_stream(
                     dec, params, zs, cp, cam2world, init_pos, fov,
-                    image_size=image_size, raster_cfg=rcfg, frame_batch=fb,
-                    slab_ctx=_ctx(sa),
+                    image_size=image_size, raster_cfg=rcfg_s,
+                    frame_batch=fb, slab_ctx=_ctx(sa),
                 )
                 return jnp.sum(imgs[:, :, ::257, ::257])
         else:
@@ -207,7 +221,13 @@ def main():
                 # chip (per-call host/tunnel dispatch latency is a harness
                 # artifact, not renderer throughput)
                 def body(i, acc):
-                    return acc + frame(params, zs[i], sa)
+                    img, _ = decode_and_render(
+                        dec, params, zs[i], cp, cam2world, init_pos, fov,
+                        image_size=image_size, raster_cfg=rcfg_s,
+                        backend=backend, slab_ctx=_ctx(sa),
+                    )
+                    # scalar checksum forces full execution
+                    return acc + jnp.sum(img)
 
                 return jax.lax.fori_loop(0, iters, body, 0.0)
         return frame_stream
@@ -226,16 +246,18 @@ def main():
     if frame_batch > 1:
         cascade.append((1, True, False))
     cascade.append((1, False, False))
+    fb_ran = 1
     for fb, packed, use_slab in cascade:
         try:
             if not packed:
                 rcfg = dataclasses.replace(
                     rcfg, packed_payloads=False, fused_sort_key=False)
             sa = slab_arr if use_slab else None
-            candidate = make_stream(fb)
+            candidate = make_stream(fb, rcfg)
             float(candidate(params, zs, sa))  # compile + warmup
             frame_stream = candidate
             used_arr = sa
+            fb_ran = fb
             path_ran = (f"frame_batch={fb},packed={packed}"
                         + (",slab" if use_slab else ""))
             break
@@ -278,6 +300,48 @@ def main():
         # record, not just a stderr print
         rec["slab_build_s"] = slab_build_s
     print(json.dumps(rec))
+    sys.stdout.flush()
+
+    # --- sweep mode: BENCH_SWEEP="tile_cap=640;rgb10=0;overflow=65536" ----
+    # Each ';'-separated spec is a comma-separated list of raster knobs
+    # applied over the post-env base config, measured IN THIS PROCESS with
+    # the shared slab context. One JSON line per spec. Rationale: the r5
+    # stage-B batch paid 180-370 s of unattributed per-process wall per
+    # row (fresh tunnel session + ctx rebuild); raster-knob ablations
+    # don't need a new process at all.
+    sweep = os.environ.get("BENCH_SWEEP", "").strip()
+    if sweep:
+        knob_map = {
+            "copies": ("static_copies", int),
+            "overflow": ("overflow_budget", int),
+            "fused_key": ("fused_sort_key", lambda v: bool(int(v))),
+            "tile_cap": ("tile_capacity", int),
+            "rgb10": ("rgb10_payloads", lambda v: bool(int(v))),
+            "mxu_power": ("blend_mxu_power", lambda v: bool(int(v))),
+        }
+        for spec in filter(None, (s.strip() for s in sweep.split(";"))):
+            ovr = {}
+            for kv in spec.split(","):
+                k, _, v = kv.partition("=")
+                field, conv = knob_map[k.strip()]
+                ovr[field] = conv(v.strip())
+            rcfg_s = dataclasses.replace(rcfg_base, **ovr)
+            try:
+                stream_s = make_stream(fb_ran, rcfg_s)
+                float(stream_s(params, zs, used_arr))  # compile + warmup
+                t0 = time.perf_counter()
+                float(stream_s(params, zs, used_arr))
+                fps_s = iters / (time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001
+                print(f"sweep spec '{spec}' failed "
+                      f"({type(e).__name__}: {e})", file=sys.stderr)
+                continue
+            print(json.dumps({
+                "metric": rec["metric"], "value": round(fps_s, 3),
+                "unit": "fps", "vs_baseline": round(fps_s / 30.0, 3),
+                "path": path_ran, "sweep": spec,
+            }))
+            sys.stdout.flush()
 
 
 if __name__ == "__main__":

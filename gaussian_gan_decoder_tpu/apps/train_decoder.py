@@ -124,13 +124,18 @@ def build_argparser():
                         "tetrahedra pack (smaller sorts, no 2-D gather; "
                         "measured 158->92 ms — --no-mt_two_stage reverts)")
     p.add_argument("--sigma_separable", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=True,
                    help="separable lattice-resampling sigma grid (dense MXU "
-                        "interp matmuls instead of table-row gathers)")
+                        "interp matmuls instead of table-row gathers); "
+                        "numerically exact vs the gather path (2e-5 parity "
+                        "test) and measured 575.5 -> 525.8 ms/step (r5 stage "
+                        "B, 2026-08-20) — --no-sigma_separable reverts")
     p.add_argument("--pallas_heads_train", action=argparse.BooleanOptionalAction,
-                   default=False,
+                   default=True,
                    help="custom-VJP fused Pallas decoder-head chain in the "
-                        "train step (VMEM-resident fwd+bwd; exact f32 grads)")
+                        "train step (VMEM-resident fwd+bwd; exact f32 grads; "
+                        "part of every measured-best r4/r5 step config) — "
+                        "--no-pallas_heads_train reverts")
     p.add_argument("--raster_backend", default="pallas_diff",
                    choices=["xla", "pallas_diff"],
                    help="pallas_diff (default): custom-VJP Pallas blend — "

@@ -65,7 +65,11 @@ def flagship_raster_config() -> RasterizeConfig:
     # decoder scales are tiny (exp(-softplus(s+5)-2.5) world units), so rect
     # areas are almost always 1-2 tiles: 2 structural copies + overflow lane
     return RasterizeConfig(
-        tile_size=16, max_pairs=2 ** 21, tile_capacity=1024, chunk=64,
+        # tile_capacity 768 (was 1024): blend cost is proportional to the
+        # fixed-trip chunk loop; 768 measured +~0.5 fps with n_dropped=0
+        # at flagship density (r5 sweep 2026-08-20, 31.577 fps combined
+        # with rgb10 vs 30.491 anchor)
+        tile_size=16, max_pairs=2 ** 21, tile_capacity=768, chunk=64,
         # overflow demand measured ~96.4k pairs at copies=2 (area histogram
         # is {1: 47%, 2: 43%, 4: 10%}): 2^17 leaves headroom, n_dropped = 0
         static_copies=2, overflow_budget=2 ** 17, bf16_colors=True,
@@ -73,11 +77,19 @@ def flagship_raster_config() -> RasterizeConfig:
         # colors -> 2 keys + 5 sort payloads (vs 9 channels f32); error
         # budget validated by tests/test_fast_raster.py packed-v2 parity
         packed_payloads=True,
+        # packed_v3 on top: rgb as ONE 10-bit-per-channel word -> 4 sort
+        # payloads. Measured 31.577/31.136/31.117 fps across two sessions
+        # vs 30.491 anchor (r5, 2026-08-20); CPU-interpret parity in
+        # tests/test_fast_raster.py. BENCH_RGB10=0 reverts.
+        rgb10_payloads=True,
         # fused uint32 sort key (tile<<21 | depth>>11): ONE key operand,
         # 2^-12 relative depth resolution. Measured +0.85 fps on the slab
         # path (29.6 -> 30.5, r4 sweep 2026-08-19); closeness test
         # test_fast_raster.test_fused_sort_key_close
         fused_sort_key=True,
+        # blend_mxu_power stays OFF: 29.089 fps alone vs 30.491 anchor
+        # (r5 stage B row 4) — the quadratic-basis MXU falloff loses to
+        # the fused VPU transcendental at this tile occupancy
     )
 
 

@@ -103,10 +103,14 @@ def test_train_3dgs_gui_hook(tmp_path):
 
     t = threading.Thread(target=client, daemon=True)
     t.start()
+    # 150 iterations (not 30): the client thread can be GIL-starved while
+    # the main thread sits in XLA compiles (observed as a full-suite-only
+    # flake, 2026-08-20) — each training iteration is an accept window,
+    # so give it plenty
     train_main(["-s", scene, "-m", str(tmp_path / "out"),
-                "--iterations", "30", "--capacity", "256",
+                "--iterations", "150", "--capacity", "256",
                 "--image_size", "32", "--gui_port", str(port),
                 "--save_iterations", "--force_cpu"])
-    t.join(timeout=10)
+    t.join(timeout=30)
     assert got.get("img") is not None and len(got["img"]) == 32 * 32 * 3
     assert got["verify"] == scene
