@@ -35,15 +35,15 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _dma_pipeline(fp_hbm, win, sem, *, nz: int, nyb: int):
+def _dma_pipeline(fp_hbm, win, sem, *, nz: int, nyb: int, yb: int):
     # grid: (B, D+1, NY//YB); out block row b*(D+1)+z.
     # The window DMA for program i+1 is started while program i computes
     # (double-buffered on grid-step parity) — a synchronous start/wait per
     # program exposes ~200 full DMA latencies (~5 ms/frame at flagship).
     b = pl.program_id(0)
     z = pl.program_id(1)
-    yb = pl.program_id(2)
-    step = (b * nz + z) * nyb + yb
+    ybi = pl.program_id(2)
+    step = (b * nz + z) * nyb + ybi
     n_steps = pl.num_programs(0) * nz * nyb
     slot = step % 2
 
@@ -52,7 +52,7 @@ def _dma_pipeline(fp_hbm, win, sem, *, nz: int, nyb: int):
         zz = (st // nyb) % nz
         yy = st % nyb
         return pltpu.make_async_copy(
-            fp_hbm.at[bb, pl.ds(zz, 2), pl.ds(yy * YB, YB + 8)],
+            fp_hbm.at[bb, pl.ds(zz, 2), pl.ds(yy * yb, yb + 8)],
             win.at[s],
             sem.at[s],
         )
@@ -70,37 +70,37 @@ def _dma_pipeline(fp_hbm, win, sem, *, nz: int, nyb: int):
 
 
 def _expand_kernel(fp_hbm, out_ref, win, sem, *, C: int, W: int, D: int,
-                   nz: int, nyb: int):
+                   nz: int, nyb: int, yb: int):
     # 8 sub-tile stores: write lanes g*C:(g+1)*C from source lanes 0:C —
     # each store is a lane ROTATION (C=32 is not tile-aligned).
-    slot = _dma_pipeline(fp_hbm, win, sem, nz=nz, nyb=nyb)
+    slot = _dma_pipeline(fp_hbm, win, sem, nz=nz, nyb=nyb, yb=yb)
 
     for dz in (0, 1):
         for dy in (0, 1):
             for dx in (0, 1):
                 g = (dz * 2 + dy) * 2 + dx
                 out_ref[0, :, :, g * C:(g + 1) * C] = (
-                    win[slot, dz, dy:dy + YB, dx:dx + W + 1, :C]
+                    win[slot, dz, dy:dy + yb, dx:dx + W + 1, :C]
                 )
 
 
 def _expand_kernel_select(fp_hbm, out_ref, win, sem, *, C: int, W: int,
-                          D: int, nz: int, nyb: int):
+                          D: int, nz: int, nyb: int, yb: int):
     # Channel-DUPLICATED source (each 128-lane row = LANE//C copies of the
     # C channels): corner group g reads its channels at the SAME lanes it
     # writes, so the 8 rotated sub-tile stores become lane-group masked
     # selects combined into ONE aligned full-tile store per 128 lanes.
-    slot = _dma_pipeline(fp_hbm, win, sem, nz=nz, nyb=nyb)
+    slot = _dma_pipeline(fp_hbm, win, sem, nz=nz, nyb=nyb, yb=yb)
 
     gpt = LANE // C            # corner groups per 128-lane output tile
     lane_grp = jax.lax.broadcasted_iota(
-        jnp.int32, (YB, W + 1, LANE), 2) // C
+        jnp.int32, (yb, W + 1, LANE), 2) // C
     for t in range(8 * C // LANE):
         acc = None
         for j in range(gpt):
             g = t * gpt + j
             dz, dy, dx = g >> 2, (g >> 1) & 1, g & 1
-            v = win[slot, dz, dy:dy + YB, dx:dx + W + 1, :]
+            v = win[slot, dz, dy:dy + yb, dx:dx + W + 1, :]
             acc = v if acc is None else jnp.where(lane_grp == j, v, acc)
         out_ref[0, :, :, t * LANE:(t + 1) * LANE] = acc
 
@@ -110,7 +110,8 @@ def build_brick_table(feats: jax.Array, dtype=None, interpret: bool | None = Non
     """(B, C, D, H, W) volume -> (table (B, (D+1)*NY*(W+1), 8C), NY).
 
     Row index of logical brick (z0, y0, x0) is (z0 * NY + y0) * (W + 1) + x0
-    with NY = round_up(H + 1, YB). Rows with y0 > H exist but hold garbage
+    with NY = round_up(H + 1, yb) (yb = 16, or 8 for 4-byte bricks).
+    Rows with y0 > H exist but hold garbage
     (never indexed: y0 <= H by construction of the sampler).
 
     select=True uses the channel-duplicated-source kernel (lane-aligned
@@ -124,7 +125,12 @@ def build_brick_table(feats: jax.Array, dtype=None, interpret: bool | None = Non
     if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret
         interpret = jax.default_backend() == "cpu"
     select = select and LANE % C == 0 and (8 * C) % LANE == 0
-    NY = _round_up(H + 1, YB)
+    # y rows per grid step: 16 for <=2-byte bricks; 8 for f32 — the out
+    # block + double-buffered DMA window scratch must fit the 16 MB scoped
+    # VMEM limit (f32 at YB=16 needs ~21 MB: observed compile OOM on the
+    # PSNR ablate ladder's f32_bricks rung, 2026-08-20)
+    yb = YB if jnp.dtype(feats.dtype).itemsize < 4 else YB // 2
+    NY = _round_up(H + 1, yb)
     NX = _round_up(W + 2, 8)
     # channels-last; pad: z 1+1, y 1 + (NY+8-1-H) [DMA windows read YB+8
     # rows], x 1 + (NX-W-1), c to full 128 lanes
@@ -143,17 +149,17 @@ def build_brick_table(feats: jax.Array, dtype=None, interpret: bool | None = Non
     out = pl.pallas_call(
         functools.partial(
             _expand_kernel_select if select else _expand_kernel,
-            C=C, W=W, D=D, nz=D + 1, nyb=NY // YB),
-        grid=(B, D + 1, NY // YB),
+            C=C, W=W, D=D, nz=D + 1, nyb=NY // yb, yb=yb),
+        grid=(B, D + 1, NY // yb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, YB, W + 1, 8 * C),
+            (1, yb, W + 1, 8 * C),
             lambda b, z, yb: (b * (D + 1) + z, yb, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B * (D + 1), NY, W + 1, 8 * C), feats.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, YB + 8, NX, LANE), feats.dtype),
+            pltpu.VMEM((2, 2, yb + 8, NX, LANE), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
