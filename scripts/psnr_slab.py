@@ -71,6 +71,9 @@ def main():
     gen = flagship_generator()
     dec_fast = dataclasses.replace(
         flagship_decoder(gen=gen), slab_sampling=True,
+        # bench.py ships pallas_mapping=True (BENCH_PALLAS_MAPPING default
+        # "1") — the quality suite must measure the SAME stack
+        pallas_mapping=not os.environ.get("PSNR_NO_PALLAS_MAPPING"),
         gelu=os.environ.get("PSNR_GELU", "poly6"),
         heads_bf16=not os.environ.get("PSNR_HEADS_F32"),
         slab_clip_q=float(os.environ.get("PSNR_CLIPQ", "0")))
@@ -138,13 +141,29 @@ def main():
         import json
         variants = {
             "mid_anchor": {},
+            # the bf16 mapping kernel perturbs ws -> EVERY plane; isolate
+            # it first (the r5 stage-B rungs exonerated GELU + brick
+            # dtype + heads precision, so mapping and sampling-path
+            # arithmetic are the prime suspects)
+            "mapping_off": {"pallas_mapping": False},
             "gelu_exact": {"gelu": "exact"},
             "bf16_bricks": {"int8_sampling": False},
             "f32_bricks": {"int8_sampling": False, "bf16_sampling": False},
+            "xla_sampling_f32": {"pallas_sampling": False,
+                                 "int8_sampling": False,
+                                 "bf16_sampling": False},
             "heads_f32": {"heads_bf16": False},
             "xla_heads": {"pallas_heads": False, "heads_bf16": False},
             "xla_heads_exact_gelu": {"pallas_heads": False,
                                      "heads_bf16": False, "gelu": "exact"},
+            # oracle decode settings rendered through the FAST raster
+            # config: whatever dB this rung reads is the packed-raster
+            # contribution at full-frame level (everything else exact)
+            "all_exact_packed_raster": {
+                "pallas_mapping": False, "pallas_heads": False,
+                "heads_bf16": False, "gelu": "exact",
+                "pallas_sampling": False, "int8_sampling": False,
+                "bf16_sampling": False},
         }
         cp0, c2w0 = _camera_set(1)[0]
         z0 = zs[0]
