@@ -390,7 +390,10 @@ class GaussianDecoder:
                       file=sys.stderr)
             return _time.perf_counter()
 
+        t_entry = _time.perf_counter()
         pos_np = np.asarray(init_position, np.float32)
+        t_entry = _stamp("entry (np.asarray(template) + imports)", t_entry,
+                         pos_np)
         cache_path = None
         if cache_dir:
             h = hashlib.sha256()
@@ -474,10 +477,15 @@ class GaussianDecoder:
         # slab-path outputs back to template order (rows[:, inv_slot])
         inv_slot = np.zeros(pb.n_points, np.int32)
         inv_slot[pb.perm] = np.where(pb.valid > 0)[0]
+        origins_d = jnp.asarray(pb.origins)
+        valid_d = jnp.asarray(pb.valid)
+        inv_slot_d = jnp.asarray(inv_slot)
+        _stamp("tail (inv_slot + small staging transfers)", t0,
+               origins_d, valid_d, inv_slot_d)
         return EasyDict(
-            origins=jnp.asarray(pb.origins), wzy=wzy, axs=axs, aux=aux,
-            positions=positions, perm=pb.perm, valid=jnp.asarray(pb.valid),
-            inv_slot=jnp.asarray(inv_slot),
+            origins=origins_d, wzy=wzy, axs=axs, aux=aux,
+            positions=positions, perm=pb.perm, valid=valid_d,
+            inv_slot=inv_slot_d,
             n_points=pb.n_points, block=pb.block, ey=pb.ey, ex=pb.ex,
             dzw=dzw, cond_dim=self.position_dim, m_padded=pb.m_padded,
         )
