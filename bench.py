@@ -336,11 +336,24 @@ def main():
                 print(f"sweep spec '{spec}' failed "
                       f"({type(e).__name__}: {e})", file=sys.stderr)
                 continue
-            print(json.dumps({
+            srec = {
                 "metric": rec["metric"], "value": round(fps_s, 3),
                 "unit": "fps", "vs_baseline": round(fps_s / 30.0, 3),
                 "path": path_ran, "sweep": spec,
-            }))
+            }
+            if ("static_copies" in ovr or "overflow_budget" in ovr):
+                # replication-budget specs are only admissible at
+                # n_dropped=0 — run the aux frame so the row carries it
+                try:
+                    _, _, aux_s = decode_and_render(
+                        dec, params, zs[0], cp, cam2world, init_pos, fov,
+                        image_size=image_size, raster_cfg=rcfg_s,
+                        backend=backend, return_aux=True, slab_ctx=slab_ctx)
+                    srec["n_dropped"] = int(aux_s["n_dropped"])
+                except Exception as e:  # noqa: BLE001
+                    print(f"sweep spec '{spec}' aux check failed "
+                          f"({type(e).__name__}: {e})", file=sys.stderr)
+            print(json.dumps(srec))
             sys.stdout.flush()
 
 

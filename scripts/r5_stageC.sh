@@ -17,7 +17,7 @@ GGD_SLAB_VERBOSE=1 timeout 3000 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 # --- >=32 second-session evidence + sweep (ONE process, shared ctx) ----
 log "fps: tile_cap 640 (32.101 in stage B) + in-process sweep rows"
 BENCH_TILE_CAP=640 \
-  BENCH_SWEEP="tile_cap=704;tile_cap=576;tile_cap=640,copies=1,overflow=393216;tile_cap=640,copies=3;tile_cap=768" \
+  BENCH_SWEEP="tile_cap=704;tile_cap=576;tile_cap=640,copies=1,overflow=393216;tile_cap=640,copies=3;tile_cap=768;tile_cap=640,overflow=114688" \
   timeout 4500 $PY bench.py 2>>"$OUT" | tee -a "$OUT"
 
 # --- dispatch-amortization probe (iters 10 -> 32, same program) --------
