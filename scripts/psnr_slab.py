@@ -206,7 +206,37 @@ def main():
     def psnr_of(mses):
         return 10 * np.log10(1.0 / max(float(np.mean(mses)), 1e-12))
 
+    # BASELINE.md secondary metric: LPIPS between the fast path / fast
+    # raster and the oracle. Zero egress: random VGG16 weights unless
+    # PSNR_LPIPS_WEIGHTS names a torchvision VGG16 state dict — random
+    # weights still give a deterministic multi-scale perceptual distance
+    # (label carries the caveat), and the plumbing is the pretrained one.
+    from gaussian_gan_decoder_tpu.losses.lpips import VGG16LPIPS
+
+    lp = VGG16LPIPS()
+    wpath = os.environ.get("PSNR_LPIPS_WEIGHTS")
+    if wpath:
+        import torch
+
+        lp_params = lp.load_torch_state_dict(
+            {k: v.numpy() for k, v in torch.load(
+                wpath, map_location="cpu", weights_only=True).items()})
+        lp_tag = "lpips"
+    else:
+        lp_params = lp.init(jax.random.PRNGKey(7))
+        lp_tag = "lpips_random_vgg"
+
+    @jax.jit
+    def _lp_embed(img):                      # (3,H,W) in [0,1]
+        return lp.embed(lp_params, img[None].astype(jnp.float32) * 255.0)
+
+    def lp_dist(a, b):
+        ea = _lp_embed(jnp.asarray(a))
+        eb = _lp_embed(jnp.asarray(b))
+        return float(jnp.sum((ea - eb) ** 2))
+
     mse = {"raster": [], "slab_ref": [], "mid_ref": [], "slab_mid": []}
+    lpips_v = {"raster": [], "slab_ref": []}
     for li in range(n_latents):
         for ci, (cp_i, c2w_i) in enumerate(cams):
             z = zs[li]
@@ -223,6 +253,8 @@ def main():
             mse["slab_ref"].append(np.mean((img_slab - img_ref) ** 2))
             mse["mid_ref"].append(np.mean((img_mid - img_ref) ** 2))
             mse["slab_mid"].append(np.mean((img_slab - img_mid) ** 2))
+            lpips_v["raster"].append(lp_dist(ra, rb))
+            lpips_v["slab_ref"].append(lp_dist(img_slab, img_ref))
             print(f"frame[{li},{ci}] raster={psnr_of(mse['raster'][-1:]):.2f} "
                   f"slab_vs_oracle={psnr_of(mse['slab_ref'][-1:]):.2f}",
                   file=sys.stderr)
@@ -237,6 +269,10 @@ def main():
             min(psnr_of([m]) for m in mse["slab_ref"]), 2),
         "psnr_pallas_vs_oracle_db": round(psnr_of(mse["mid_ref"]), 2),
         "psnr_slab_vs_pallas_db": round(psnr_of(mse["slab_mid"]), 2),
+        f"{lp_tag}_raster_identical_sets": round(
+            float(np.mean(lpips_v["raster"])), 6),
+        f"{lp_tag}_slab_vs_oracle": round(
+            float(np.mean(lpips_v["slab_ref"])), 6),
         "image": image_size, "points": n_points,
         "latents": n_latents, "cameras": n_cams,
         "clip_q": dec_fast.slab_clip_q,
