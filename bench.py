@@ -72,12 +72,24 @@ def main():
         import dataclasses as _dcsm
 
         dec = _dcsm.replace(dec, pallas_mapping=True)
-    params = dec.init(
+    # ONE jitted init program: eager init dispatches hundreds of tiny ops,
+    # each a tunnel round trip — the r5 stage-C entry stamp measured
+    # 1399 s of pre-slab wall that was exactly this queue draining at the
+    # first device->host sync (per-op tunnel latency degrades over a day
+    # of sessions; one traced program is one round trip)
+    params = jax.jit(lambda: dec.init(
         jax.random.PRNGKey(0),
         generator_params=dec.generator.init(jax.random.PRNGKey(1)),
-    )
+    ))()
     cp, cam2world = default_camera_params()
-    init_pos = (jax.random.uniform(jax.random.PRNGKey(2), (n_points, 3)) - 0.5) * 0.4
+    # HOST-materialised template (same values/cache key as ever):
+    # make_slab_context consumes numpy, and a lazy device template would
+    # force its d2h sync behind whatever is queued at that point — pay the
+    # (now tiny) sync here instead, right after the single init program
+    import numpy as _np
+    init_pos = _np.asarray(
+        (jax.random.uniform(jax.random.PRNGKey(2), (n_points, 3)) - 0.5)
+        * 0.4)
     fov = jnp.asarray(0.227)
     rcfg = flagship_raster_config()
 

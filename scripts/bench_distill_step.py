@@ -67,10 +67,11 @@ def main():
                           use_gen_finetune=True,
                           pallas_heads_train=_env_flag("DS_PALLAS_HEADS"),
                           bf16_sampling=_env_flag("DS_BF16_SAMPLING"))
-    gp = gen.init(jax.random.PRNGKey(1))
-    params = dec.init(jax.random.PRNGKey(0), generator_params=gp)
+    gp = jax.jit(gen.init)(jax.random.PRNGKey(1))
+    params = jax.jit(
+        lambda g: dec.init(jax.random.PRNGKey(0), generator_params=g))(gp)
     vgg = VGG16LPIPS()
-    vggp = vgg.init(jax.random.PRNGKey(2))
+    vggp = jax.jit(vgg.init)(jax.random.PRNGKey(2))
     backend = os.environ.get("RASTER", "pallas_diff")
     cfg = DistillConfig(raster_backend=backend,
                         lpips_bf16=_env_flag("DS_BF16_LPIPS"),
@@ -131,10 +132,11 @@ def stage_ablate():
                           use_gen_finetune=True,
                           pallas_heads_train=_env_flag("DS_PALLAS_HEADS"),
                           bf16_sampling=_env_flag("DS_BF16_SAMPLING"))
-    gp = gen.init(jax.random.PRNGKey(1))
-    params = dec.init(jax.random.PRNGKey(0), generator_params=gp)
+    gp = jax.jit(gen.init)(jax.random.PRNGKey(1))
+    params = jax.jit(
+        lambda g: dec.init(jax.random.PRNGKey(0), generator_params=g))(gp)
     vgg = VGG16LPIPS()
-    vggp = vgg.init(jax.random.PRNGKey(2))
+    vggp = jax.jit(vgg.init)(jax.random.PRNGKey(2))
     tcfg = TargetSamplerConfig(
         bf16_probe=_env_flag("DS_BF16_PROBE"),
         int8_probe=_env_flag("DS_INT8_PROBE"),

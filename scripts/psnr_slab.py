@@ -84,8 +84,11 @@ def main():
         pallas_sampling=False, pallas_mapping=False, gelu="exact")
     dec_mid = dataclasses.replace(dec_fast, slab_sampling=False)
 
-    params = dec_fast.init(
-        jax.random.PRNGKey(0), generator_params=gen.init(jax.random.PRNGKey(1)))
+    # ONE jitted init program (eager init = hundreds of per-op tunnel
+    # round trips; see bench.py r5 stage-C attribution)
+    params = jax.jit(lambda: dec_fast.init(
+        jax.random.PRNGKey(0),
+        generator_params=gen.init(jax.random.PRNGKey(1))))()
     cp, cam2world = default_camera_params()
     init_pos = (jax.random.uniform(jax.random.PRNGKey(2), (n_points, 3)) - 0.5) * 0.4
     fov = jnp.asarray(0.227)
@@ -223,7 +226,7 @@ def main():
                 wpath, map_location="cpu", weights_only=True).items()})
         lp_tag = "lpips"
     else:
-        lp_params = lp.init(jax.random.PRNGKey(7))
+        lp_params = jax.jit(lp.init)(jax.random.PRNGKey(7))
         lp_tag = "lpips_random_vgg"
 
     @jax.jit
