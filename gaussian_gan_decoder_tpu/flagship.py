@@ -71,8 +71,13 @@ def flagship_raster_config() -> RasterizeConfig:
         # with rgb10 vs 30.491 anchor)
         tile_size=16, max_pairs=2 ** 21, tile_capacity=768, chunk=64,
         # overflow demand measured ~96.4k pairs at copies=2 (area histogram
-        # is {1: 47%, 2: 43%, 4: 10%}): 2^17 leaves headroom, n_dropped = 0
-        static_copies=2, overflow_budget=2 ** 17, bf16_colors=True,
+        # is {1: 47%, 2: 43%, 4: 10%}): 114688 = 19% headroom, n_dropped=0,
+        # and trimming the budget from 2^17 measured +0.8 fps (r5 stage C,
+        # 32.4 vs 31.6 at tile_cap 640; budget is pure allocation — with
+        # zero drops the rendered image is bit-identical). Scenes denser
+        # than the flagship template should raise it (n_dropped is
+        # surfaced by bench.py and render aux).
+        static_copies=2, overflow_budget=114688, bf16_colors=True,
         # packed_v2: int16 tile-local pixel coords + f16 conics + bf16
         # colors -> 2 keys + 5 sort payloads (vs 9 channels f32); error
         # budget validated by tests/test_fast_raster.py packed-v2 parity
