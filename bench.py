@@ -50,7 +50,12 @@ def main():
 
     n_points = int(os.environ.get("BENCH_POINTS", 500_000))
     image_size = int(os.environ.get("BENCH_IMAGE", 512))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    # 32 frames per timed call (was 10 through r4): the fori_loop stream
+    # is ONE device program either way, and the ~25 ms per-call host/
+    # tunnel dispatch is a harness artifact — at 10 frames it inflated
+    # frame time ~8% (31.5 -> 34.2 fps measured at iters=32, r5 stage C).
+    # The JSON carries "iters" so readings are comparable.
+    iters = int(os.environ.get("BENCH_ITERS", 32))
     variant = os.environ.get("BENCH_VARIANT", "panohead")  # or 'eg3d'
 
     from gaussian_gan_decoder_tpu.flagship import flagship_generator
@@ -306,6 +311,7 @@ def main():
         # which cascade path actually ran: a regression in the fast path
         # must show up as a visible fallback, not a quiet fps drop
         "path": path_ran,
+        "iters": iters,
     }
     if slab_ctx is not None and used_arr is not None:
         # one-time template setup cost (VERDICT r3 item 4): visible in the
