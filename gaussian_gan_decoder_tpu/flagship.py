@@ -65,11 +65,13 @@ def flagship_raster_config() -> RasterizeConfig:
     # decoder scales are tiny (exp(-softplus(s+5)-2.5) world units), so rect
     # areas are almost always 1-2 tiles: 2 structural copies + overflow lane
     return RasterizeConfig(
-        # tile_capacity 768 (was 1024): blend cost is proportional to the
-        # fixed-trip chunk loop; 768 measured +~0.5 fps with n_dropped=0
-        # at flagship density (r5 sweep 2026-08-20, 31.577 fps combined
-        # with rgb10 vs 30.491 anchor)
-        tile_size=16, max_pairs=2 ** 21, tile_capacity=768, chunk=64,
+        # tile_capacity 640 (was 1024): blend cost is proportional to the
+        # fixed-trip chunk loop. 640 measured 32.10/31.52 fps across two
+        # sessions (vs 31.6 at 768, 30.49 at 1024 anchors) and its
+        # quality gate reads 56.1 dB raster-isolated with rgb10 (>= 39
+        # acceptance, r5 stage C 2026-08-20) — truncation at flagship
+        # density is invisible. Denser scenes raise it.
+        tile_size=16, max_pairs=2 ** 21, tile_capacity=640, chunk=64,
         # overflow demand measured ~96.4k pairs at copies=2 (area histogram
         # is {1: 47%, 2: 43%, 4: 10%}): 114688 = 19% headroom, n_dropped=0,
         # and trimming the budget from 2^17 measured +0.8 fps (r5 stage C,
