@@ -27,6 +27,7 @@ Staging column layout (128 lanes):
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Dict, Sequence, Tuple
 
 import jax
@@ -240,7 +241,11 @@ def decode_heads_pallas(
     P = cond0.shape[1]
     assert F == 32 and 32 + P + sum(d for _, d in chain_spec) <= INIT_COL
     if interpret is None:  # CPU (tests / dry runs): no Mosaic — interpret
-        interpret = jax.default_backend() == "cpu"
+        # GGD_PALLAS_INTERPRET=1: interpret mode on ANY backend — the
+        # kernel lowers through plain XLA instead of Mosaic (slow; a
+        # numerics-attribution tool, see PERFORMANCE.md r5 quality table)
+        interpret = (jax.default_backend() == "cpu"
+                     or bool(_os.environ.get("GGD_PALLAS_INTERPRET")))
 
     (w1, b1, w2, b2, w3, b3, w4, b4), chain, _layout = _pack_chain(
         head_params, chain_spec, P, parallel, compute_dtype)
@@ -504,7 +509,11 @@ def decode_project_pallas(
     assert F == 32 and 32 + P + sum(d for _, d in chain_spec) <= INIT_COL
     assert block % interleave == 0, (block, interleave)
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # GGD_PALLAS_INTERPRET=1: interpret mode on ANY backend — the
+        # kernel lowers through plain XLA instead of Mosaic (slow; a
+        # numerics-attribution tool, see PERFORMANCE.md r5 quality table)
+        interpret = (jax.default_backend() == "cpu"
+                     or bool(_os.environ.get("GGD_PALLAS_INTERPRET")))
 
     weights, chain, layout = _pack_chain(
         head_params, chain_spec, P, parallel, compute_dtype)
@@ -577,7 +586,11 @@ def decode_project_pallas_fused(
     assert C == 32 and 32 + P + sum(d for _, d in chain_spec) <= INIT_COL
     assert block % interleave == 0, (block, interleave)
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # GGD_PALLAS_INTERPRET=1: interpret mode on ANY backend — the
+        # kernel lowers through plain XLA instead of Mosaic (slow; a
+        # numerics-attribution tool, see PERFORMANCE.md r5 quality table)
+        interpret = (jax.default_backend() == "cpu"
+                     or bool(_os.environ.get("GGD_PALLAS_INTERPRET")))
 
     weights, chain, layout = _pack_chain(
         head_params, chain_spec, P, parallel, compute_dtype)
@@ -771,7 +784,11 @@ def decode_project_pallas_slab(
     assert origins.shape == (Mpad // block, 12), origins.shape
     assert block % interleave == 0, (block, interleave)
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # GGD_PALLAS_INTERPRET=1: interpret mode on ANY backend — the
+        # kernel lowers through plain XLA instead of Mosaic (slow; a
+        # numerics-attribution tool, see PERFORMANCE.md r5 quality table)
+        interpret = (jax.default_backend() == "cpu"
+                     or bool(_os.environ.get("GGD_PALLAS_INTERPRET")))
 
     weights, chain, layout = _pack_chain(
         head_params, chain_spec, P, parallel, compute_dtype)
