@@ -168,6 +168,10 @@ def main():
                 "pallas_sampling": False, "int8_sampling": False,
                 "bf16_sampling": False},
         }
+        only = os.environ.get("PSNR_ABLATE_ONLY")
+        if only:
+            variants = {k: v for k, v in variants.items()
+                        if k in only.split(",")}
         cp0, c2w0 = _camera_set(1)[0]
         z0 = zs[0]
         img_ref = make_run("oracle", dec_ref, "xla", rcfg_ref)(z0, cp0, c2w0)
