@@ -159,6 +159,15 @@ def main():
             "xla_heads": {"pallas_heads": False, "heads_bf16": False},
             "xla_heads_exact_gelu": {"pallas_heads": False,
                                      "heads_bf16": False, "gelu": "exact"},
+            # pallas kernel with EVERY approximation off: separates
+            # kernel-semantics error from the approximation knobs (the
+            # r5 stage-D algebra: each knob individually ~0, xla chain
+            # 62.9 -> a kernel-specific source must exist; this rung
+            # measures it directly)
+            "pallas_all_exact": {"heads_bf16": False, "gelu": "exact",
+                                 "pallas_sampling": False,
+                                 "int8_sampling": False,
+                                 "bf16_sampling": False},
             # oracle decode settings rendered through the FAST raster
             # config: whatever dB this rung reads is the packed-raster
             # contribution at full-frame level (everything else exact)
