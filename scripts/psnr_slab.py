@@ -102,6 +102,11 @@ def main():
         rcfg = dataclasses.replace(rcfg, rgb10_payloads=True)
     if os.environ.get("PSNR_MXU_POWER"):
         rcfg = dataclasses.replace(rcfg, blend_mxu_power=True)
+    if os.environ.get("PSNR_FUSED_KEY", "") != "":
+        # full 32-bit depth two-key sort (fused key keeps 12 mantissa
+        # bits -> massive ties at 500k density; see r5 root-cause note)
+        rcfg = dataclasses.replace(
+            rcfg, fused_sort_key=bool(int(os.environ["PSNR_FUSED_KEY"])))
     rcfg_ref = dataclasses.replace(
         flagship_raster_config(), packed_payloads=False,
         bf16_colors=False, fused_sort_key=False)
