@@ -101,16 +101,25 @@ def test_train_3dgs_gui_hook(tmp_path):
         got["verify"] = cli.recv(n).decode()
         got["img"] = img
 
-    t = threading.Thread(target=client, daemon=True)
-    t.start()
-    # 150 iterations (not 30): the client thread can be GIL-starved while
-    # the main thread sits in XLA compiles (observed as a full-suite-only
-    # flake, 2026-08-20) — each training iteration is an accept window,
-    # so give it plenty
-    train_main(["-s", scene, "-m", str(tmp_path / "out"),
-                "--iterations", "150", "--capacity", "256",
-                "--image_size", "32", "--gui_port", str(port),
-                "--save_iterations", "--force_cpu"])
-    t.join(timeout=30)
+    # Up to 3 training runs: the client thread can be GIL-starved for the
+    # WHOLE run when the host is loaded (XLA compiles hold the GIL;
+    # observed as a full-suite-only flake even at 150 iterations,
+    # 2026-08-20) — the protocol exchange itself is what's under test,
+    # not the scheduler, so retry with a fresh port until the client
+    # gets scheduled
+    for attempt in range(3):
+        t = threading.Thread(target=client, daemon=True)
+        t.start()
+        train_main(["-s", scene, "-m", str(tmp_path / "out"),
+                    "--iterations", "150", "--capacity", "256",
+                    "--image_size", "32", "--gui_port", str(port),
+                    "--save_iterations", "--force_cpu"])
+        t.join(timeout=30)
+        if got.get("img") is not None:
+            break
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
     assert got.get("img") is not None and len(got["img"]) == 32 * 32 * 3
     assert got["verify"] == scene
